@@ -1,0 +1,34 @@
+"""Counter-based RNG utilities.
+
+The reference manages randomness by mutating and save/restoring global torch /
+python RNG state (py/utils.py:736-792, py/noise.py:1938, py/nodes/misc.py:140-148).
+On TPU we use JAX's counter-based threefry keys instead: every noise node in a
+composition tree derives its own independent stream with ``fold_in``, and the
+per-step stream advance is an explicit ``split`` carried through ``lax.scan``.
+This removes the entire mutable-RNG-state class of hazards (SURVEY §5.2) and
+makes streams identical across CPU/TPU backends.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import jax
+
+
+def key_from_seed(seed: int | None) -> jax.Array:
+    """Make a PRNG key from an integer seed (None → 0)."""
+    return jax.random.key(0 if seed is None else int(seed) & 0xFFFFFFFF)
+
+
+def derive_key(key: jax.Array, *path: int | str) -> jax.Array:
+    """Derive a sub-key deterministically from a path of ints/strings.
+
+    Strings are hashed with crc32 so stream identity depends only on the
+    spelled path, never on Python object identity or dict ordering.
+    """
+    for p in path:
+        if isinstance(p, str):
+            p = zlib.crc32(p.encode("utf-8"))
+        key = jax.random.fold_in(key, p & 0x7FFFFFFF)
+    return key
