@@ -1,0 +1,23 @@
+from .base import (
+    NoiseCtx,
+    NoiseItem,
+    NoiseSamplerHandle,
+    make_noise_sampler,
+)
+from .chain import NoiseChain
+from .generators import GENERATOR_CLASSES
+from .items import TypedNoiseItem
+from .presets import NOISE_TYPES, get_noise_item, noise_type_names
+
+__all__ = [
+    "GENERATOR_CLASSES",
+    "NOISE_TYPES",
+    "NoiseChain",
+    "NoiseCtx",
+    "NoiseItem",
+    "NoiseSamplerHandle",
+    "TypedNoiseItem",
+    "get_noise_item",
+    "make_noise_sampler",
+    "noise_type_names",
+]

@@ -1,0 +1,26 @@
+from .ancestral import get_ancestral_step, to_d
+from .momentum import GuidanceConfig, HistoryType, MomentumMode, SonarConfig
+from .sonar import (
+    sample_sonar_dpmpp_sde,
+    sample_sonar_euler,
+    sample_sonar_euler_ancestral,
+)
+
+SAMPLERS = {
+    "sonar_euler": sample_sonar_euler,
+    "sonar_euler_ancestral": sample_sonar_euler_ancestral,
+    "sonar_dpmpp_sde": sample_sonar_dpmpp_sde,
+}
+
+__all__ = [
+    "SAMPLERS",
+    "GuidanceConfig",
+    "HistoryType",
+    "MomentumMode",
+    "SonarConfig",
+    "get_ancestral_step",
+    "sample_sonar_dpmpp_sde",
+    "sample_sonar_euler",
+    "sample_sonar_euler_ancestral",
+    "to_d",
+]
