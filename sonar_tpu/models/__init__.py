@@ -1,0 +1,4 @@
+"""Flagship model family: latent-diffusion UNet denoisers (pure JAX pytrees)."""
+
+from .train import init_train_state, make_train_step  # noqa: F401
+from .unet import UNetConfig, init_unet_params, make_denoiser, unet_apply  # noqa: F401
