@@ -98,16 +98,23 @@ def scale_noise(
     numel = noise.size
     if not normalized or numel == 0:
         return noise if _static_one(factor) else noise * factor
+    # Zero-std guard: degenerate (constant / all-zero) noise passes through
+    # instead of the reference's 0/0 NaN — e.g. ScheduledNoise's zeros
+    # fallback (py/noise.py:665-668) normalized at the top level.
     if normalize_dims is not None:
         std = tstd(noise, axis=normalize_dims, keepdims=True)
-        noise = noise / std
+        noise = noise / jnp.where(std == 0, 1.0, std)
         noise = noise - jnp.mean(noise, axis=normalize_dims, keepdims=True)
         return noise if _static_one(factor) else noise * factor
     mean = jnp.mean(noise)
     std = tstd(noise)
     threshold = threshold_std_devs / math.sqrt(numel)
     noise = jnp.where(jnp.abs(mean) > threshold, noise - mean, noise)
-    noise = jnp.where(jnp.abs(1.0 - std) > threshold, noise / std, noise)
+    noise = jnp.where(
+        (jnp.abs(1.0 - std) > threshold) & (std != 0),
+        noise / jnp.where(std == 0, 1.0, std),
+        noise,
+    )
     return noise if _static_one(factor) else noise * factor
 
 

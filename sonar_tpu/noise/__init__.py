@@ -5,6 +5,25 @@ from .base import (
     make_noise_sampler,
 )
 from .chain import NoiseChain
+from .combinators import (
+    BlendedNoise,
+    ChannelNoise,
+    CompositeNoise,
+    CustomNoiseParametersNoise,
+    GuidedNoise,
+    LatentOperationFilteredNoise,
+    ModulatedNoise,
+    NormalizeToScaleNoise,
+    PatternBreakNoise,
+    PerDimNoise,
+    QuantileFilteredNoise,
+    RandomNoise,
+    RepeatedNoise,
+    ResizedNoise,
+    RippleFilteredNoise,
+    ScheduledNoise,
+    ShuffledNoise,
+)
 from .generators import GENERATOR_CLASSES
 from .items import TypedNoiseItem
 from .presets import NOISE_TYPES, get_noise_item, noise_type_names
@@ -12,7 +31,24 @@ from .presets import NOISE_TYPES, get_noise_item, noise_type_names
 __all__ = [
     "GENERATOR_CLASSES",
     "NOISE_TYPES",
+    "BlendedNoise",
+    "ChannelNoise",
+    "CompositeNoise",
+    "CustomNoiseParametersNoise",
+    "GuidedNoise",
+    "LatentOperationFilteredNoise",
+    "ModulatedNoise",
     "NoiseChain",
+    "NormalizeToScaleNoise",
+    "PatternBreakNoise",
+    "PerDimNoise",
+    "QuantileFilteredNoise",
+    "RandomNoise",
+    "RepeatedNoise",
+    "ResizedNoise",
+    "RippleFilteredNoise",
+    "ScheduledNoise",
+    "ShuffledNoise",
     "NoiseCtx",
     "NoiseItem",
     "NoiseSamplerHandle",

@@ -1,10 +1,395 @@
-"""Placeholder for the voronoi noise generator (implemented later this round)."""
+"""3D toroidal Worley/Voronoi noise (reference: VoronoiNoiseGenerator,
+py/noise_generation.py:1291-1904).
 
+Feature points + the z-depth walk are explicit state (SURVEY §5.4): the
+carry holds per-octave-group feature points, ``z_curr`` and ``z_increment``;
+the z-max reset/bounce/wrap policies are traced selects, so the temporal
+correlation survives inside a ``lax.scan`` sampling loop.
+
+The ``name:arg=val`` + ``+``-averaged mode mini-language
+(py/noise_generation.py:1780-1845) is parsed at trace time (static strings).
+Distance/result tables implement all 9 distance and 19 result modes,
+including the reference's ``manhatten`` quirk (it actually computes
+euclidean, py/noise_generation.py:1483-1485 — preserved, SURVEY §7.3).
+
+TPU note: the hot op is the (B, C, H, W, N) distance reduction + top-k —
+batched elementwise + sort, MXU-free but VPU-friendly; N is static.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from ..core.normalize import normalize_to_scale, tmedian
+from ..utils.misc import fallback
 from .generators import Generator
+
+
+def _parse_modes(spec: str, scale_key: str):
+    """'a:x=1+b:y=2' → [(name, kwargs, scale)] with 1/len averaging."""
+    modes = spec.split("+")
+    base = 1.0 / len(modes)
+    out = []
+    for mode in modes:
+        if ":" in mode:
+            name, *rest = mode.split(":")
+            kw = dict(tuple(v.strip() for v in item.split("=", 1)) for item in rest)
+            scale = base * float(kw.pop(scale_key, 1.0))
+        else:
+            name, kw, scale = mode, {}, base
+        kw = {k[1:] if k.startswith("_") and len(k) > 1 else k: v for k, v in kw.items()}
+        out.append((name.strip().lower(), kw, scale))
+    return out
+
+
+def _normalize_vec(d, axis=-1, eps=1e-12):
+    return d / jnp.maximum(jnp.linalg.norm(d, axis=axis, keepdims=True), eps)
 
 
 class VoronoiGenerator(Generator):
     name = "voronoi"
+    MIN_DIMS = 4
+    MAX_DIMS = 4
+
+    @classmethod
+    def ng_params(cls):
+        return super().ng_params() | {
+            "n_points": (32,),
+            "distance_mode": ("euclidean",),
+            "z_initial": 0.0,
+            "z_increment": 1.0,
+            "z_max": 100000,
+            "z_max_mode": "reset",
+            "z_range": None,
+            "result_mode": ("f1",),
+            "octaves": 1,
+            "octave_mode": "same_features",
+            "lacunarity": 2.0,
+            "gain": 0.5,
+            "initial_amplitude": 1.0,
+            "initial_scale": 1.0,
+            "noise_sampler_factory": None,
+        }
+
+    # -- feature-point state ----------------------------------------------------
+
+    def _octave_groups(self) -> int:
+        return self.octaves if self.octave_mode == "new_features" else 1
+
+    def _npoints(self, group: int) -> int:
+        pts = tuple(max(2, v) for v in self.n_points)
+        return pts[group % len(pts)]
+
+    def _draw_feature_points(self, ctx, state, key, sigma, sigma_next):
+        """Fresh feature points per octave group, uniform or from the
+        injected factory normalized to [0,1] (py/noise_generation.py:1367-1404)."""
+        fps = []
+        for g in range(self._octave_groups()):
+            shape = (ctx.batch, ctx.channels, self._npoints(g), 3)
+            kg = jax.random.fold_in(key, g)
+            if self.noise_sampler_factory is None:
+                fps.append(jax.random.uniform(kg, shape, ctx.dtype))
+            else:
+                fctx = ctx.with_shape(shape)
+                n, st = self.noise_sampler_factory.sample(
+                    fctx, state["factory"][g], kg, sigma, sigma_next,
+                    normalized=False)
+                state = {**state,
+                         "factory": state["factory"][:g] + (st,) + state["factory"][g + 1:]}
+                fps.append(normalize_to_scale(n, 0.0, 1.0, dim=(-1, -2)))
+        return tuple(fps), state
+
+    def init_state(self, ctx, key):
+        state = {}
+        if self.noise_sampler_factory is not None:
+            state["factory"] = tuple(
+                self.noise_sampler_factory.init_state(
+                    ctx.with_shape((ctx.batch, ctx.channels, self._npoints(g), 3)),
+                    jax.random.fold_in(key, 1000 + g))
+                for g in range(self._octave_groups())
+            )
+        fps, state = self._draw_feature_points(ctx, state, key, None, None)
+        state["fp"] = fps
+        state["z"] = jnp.asarray(float(self.z_initial), ctx.dtype)
+        state["zinc"] = jnp.asarray(float(self.z_increment), ctx.dtype)
+        return state
+
+    def _feature_points(self, state, octave: int):
+        """Octave-mode transformed feature points (py/noise_generation.py:
+        1427-1447)."""
+        fp = state["fp"][octave % len(state["fp"])]
+        odd = (octave % 2) == 1
+        om = self.octave_mode
+        if (om == "same_invert_odd" and odd) or (om == "same_invert_even" and not odd):
+            return 1.0 - fp
+        if octave > 0 and om in {"same_roll_chan_up", "same_roll_chan_down"}:
+            return jnp.roll(fp, (-1 if om.endswith("up") else 1) * (octave % 3), axis=1)
+        if octave > 0 and om in {"same_roll_dir_up", "same_roll_dir_down"}:
+            return jnp.roll(fp, (-1 if om.endswith("up") else 1) * (octave % 3), axis=3)
+        return fp
+
+    # -- distance modes ----------------------------------------------------------
+
+    def _dist(self, name, d, kw, key):
+        fn = getattr(self, f"_distance_{name}", None)
+        if fn is None:
+            raise ValueError(f"Bad Voronoi distance mode {name}")
+        return fn(d, kw, key)
+
+    def _distance_euclidean(self, d, kw, key):
+        return jnp.sqrt(jnp.sum(d * d, axis=-1))
+
+    # reference quirk: manhatten computes euclidean (py/noise_generation.py:1483)
+    _distance_manhatten = _distance_euclidean
+
+    def _distance_chebyshev(self, d, kw, key):
+        return jnp.max(jnp.abs(d), axis=-1)
+
+    def _distance_minkowski(self, d, kw, key):
+        p = float(kw.get("p", 3.0))
+        return jnp.sum(jnp.abs(d) ** p, axis=-1) ** (1.0 / p)
+
+    def _distance_quadratic(self, d, kw, key):
+        return jnp.sum(d * d, axis=-1)
+
+    def _distance_angle(self, d, kw, key):
+        idx = int(kw.get("idx", 2))
+        return jnp.arccos(jnp.clip(_normalize_vec(d)[..., idx], -1.0, 1.0))
+
+    def _distance_angle_tanh(self, d, kw, key):
+        idx = int(kw.get("idx", 2))
+        return jnp.arccos(jnp.tanh(_normalize_vec(d)[..., idx]))
+
+    def _distance_angle_sigmoid(self, d, kw, key):
+        idx = int(kw.get("idx", 2))
+        return jnp.arccos(jax.nn.sigmoid(_normalize_vec(d)[..., idx]) * 2.0 - 1.0)
+
+    def _distance_weight(self, d, kw, key):
+        kw = dict(kw)
+        name = kw.pop("name", "euclidean")
+        weights = jnp.asarray(
+            (float(kw.pop("h", 1.0)), float(kw.pop("w", 1.0)), float(kw.pop("z", 0.25))),
+            d.dtype,
+        )
+        return self._dist(name, d * weights, kw, key)
+
+    def _distance_fractal_norm(self, d, kw, key):
+        kw = dict(kw)
+        name = kw.pop("name", "euclidean")
+        mode = kw.pop("mode", "sin")
+        if mode not in ("sin", "cos"):
+            raise ValueError(
+                "Bad mode parameter for fractal_norm distance mode, must be one of: sin, cos"
+            )
+        fun = jnp.sin if mode == "sin" else jnp.cos
+        adj = float(kw.pop("scale", 0.1)) * fun(d * float(kw.pop("multiplier", 10.0)))
+        return self._dist(name, d + adj, kw, key)
+
+    def _distance_fuzz(self, d, kw, key):
+        kw = dict(kw)
+        name = kw.pop("name", "euclidean")
+        fuzz = float(kw.pop("fuzz", 0.25))
+        result = self._dist(name, d, kw, jax.random.fold_in(key, 1))
+        rmin, rmax = jnp.min(result), jnp.max(result)
+        amt = jnp.maximum(jnp.abs(rmin), jnp.abs(rmax)) * fuzz
+        result = result + (jax.random.uniform(key, result.shape, result.dtype) * 2 - 1) * amt
+        return normalize_to_scale(result, rmin, rmax, dim=(-2, -1))
+
+    # -- result modes --------------------------------------------------------------
+
+    def _res(self, name, d, env, kw):
+        fn = getattr(self, f"_result_{name}", None)
+        if fn is None:
+            raise ValueError(f"Bad Voronoi result mode {name}")
+        return fn(d, env, kw)
+
+    def _result_f(self, d, env, kw):
+        return env["sorted"]()[..., int(kw.get("idx", 0))]
+
+    def _result_f1(self, d, env, kw):
+        return env["sorted"]()[..., 0]
+
+    def _result_f2(self, d, env, kw):
+        return env["sorted"]()[..., 1]
+
+    def _result_f3(self, d, env, kw):
+        return env["sorted"]()[..., 2]
+
+    def _result_f4(self, d, env, kw):
+        return env["sorted"]()[..., 3]
+
+    def _result_inv_f(self, d, env, kw):
+        eps = float(kw.get("eps", 1e-06))
+        return 1.0 / (self._result_f(d, env, kw) + eps)
+
+    def _result_inv_f1(self, d, env, kw):
+        return self._result_inv_f(d, env, {**kw, "idx": 0})
+
+    def _result_inv_f2(self, d, env, kw):
+        return self._result_inv_f(d, env, {**kw, "idx": 1})
+
+    def _result_inv_f3(self, d, env, kw):
+        return self._result_inv_f(d, env, {**kw, "idx": 2})
+
+    def _result_inv_f4(self, d, env, kw):
+        return self._result_inv_f(d, env, {**kw, "idx": 3})
+
+    def _result_diff(self, d, env, kw):
+        i1, i2 = int(kw.get("idx1", 0)), int(kw.get("idx2", 1))
+        s = env["sorted"]()
+        return s[..., i2] - s[..., i1]
+
+    def _result_diff2(self, d, env, kw):
+        i1, i2 = int(kw.get("idx1", 0)), int(kw.get("idx2", 1))
+        s = env["sorted"]()
+        return (s[..., i2] - s[..., i1]) / (s[..., i2] + s[..., i1] + 1e-06)
+
+    def _result_cellid(self, d, env, kw):
+        ids = jnp.argmin(d, axis=-1).astype(d.dtype)
+        return ids / jnp.max(ids) + 1.0
+
+    def _result_ridge(self, d, env, kw):
+        kw = dict(kw)
+        name = kw.pop("name", "diff")
+        exp = float(kw.pop("exp", -10.0))
+        return 1.0 - exp * self._res(name, d, env, kw)
+
+    def _result_median_distance(self, d, env, kw):
+        return tmedian(env["sorted"](), axis=-1)
+
+    def _result_softmin(self, d, env, kw):
+        temperature = float(kw.get("temperature", 50.0))
+        d_norm = jnp.linalg.norm(env["d_orig"], axis=-1)
+        w = jax.nn.softmax(-d_norm * temperature, axis=-1)
+        eff = env["sorted"]() if kw.get("use_sorted") is not None else d
+        return jnp.sum(eff * w, axis=-1)
+
+    def _result_gradient_magnitude(self, d, env, kw):
+        kw = dict(kw)
+        name1 = kw.pop("name1", "f4")
+        name2 = kw.pop("name2", "f4")
+        pad_mode = kw.pop("pad_mode", "replicate")
+        np_mode = {"replicate": "edge", "reflect": "reflect",
+                   "circular": "wrap", "constant": "constant"}[pad_mode]
+        r1 = self._res(name1, d, env, kw)
+        pad_cfg = [(0, 0)] * (r1.ndim - 2) + [(1, 1), (1, 1)]
+        r1p = jnp.pad(r1, pad_cfg, mode=np_mode)
+        if name2 != name1:
+            r2p = jnp.pad(self._res(name2, d, env, kw), pad_cfg, mode=np_mode)
+        else:
+            r2p = r1p
+        dx = r1p[..., 1:-1, 2:] - r2p[..., 1:-1, :-2]
+        dy = r1p[..., 2:, 1:-1] - r2p[..., :-2, 1:-1]
+        return jnp.sqrt(dx**2 + dy**2)
+
+    def _result_fractal_norm(self, d, env, kw):
+        kw = dict(kw)
+        name = kw.pop("name", "diff")
+        mode = kw.pop("mode", "sin")
+        if mode not in ("sin", "cos"):
+            raise ValueError(
+                "Bad mode parameter for fractal_norm result mode, must be one of: sin, cos"
+            )
+        fun = jnp.sin if mode == "sin" else jnp.cos
+        d_adj = float(kw.pop("scale", 0.1)) * fun(d * float(kw.pop("multiplier", 10.0)))
+        cache = {}
+
+        def my_sorted():
+            if "s" not in cache:
+                cache["s"] = jnp.sort(d_adj, axis=-1)
+            return cache["s"]
+
+        return self._res(name, d_adj, {**env, "sorted": my_sorted}, kw)
+
+    def _result_fuzz(self, d, env, kw):
+        kw = dict(kw)
+        name = kw.pop("name", "f1")
+        fuzz = float(kw.pop("fuzz", 0.25))
+        result = self._res(name, d, env, kw)
+        rmin, rmax = jnp.min(result), jnp.max(result)
+        amt = jnp.maximum(jnp.abs(rmin), jnp.abs(rmax)) * fuzz
+        key = env["key"]
+        result = result + (jax.random.uniform(key, result.shape, result.dtype) * 2 - 1) * amt
+        return normalize_to_scale(result, rmin, rmax, dim=(-2, -1))
+
+    # -- octave + main loop ----------------------------------------------------------
+
+    def _apply_distance(self, d, octave, key):
+        spec = self.distance_mode[octave % len(self.distance_mode)]
+        result = None
+        for i, (name, kw, scale) in enumerate(_parse_modes(spec, "dscale")):
+            cur = self._dist(name, d, kw, jax.random.fold_in(key, i)) * scale
+            result = cur if result is None else result + cur
+        return result
+
+    def _apply_result(self, d, d_orig, octave, key):
+        spec = self.result_mode[octave % len(self.result_mode)]
+        cache = {}
+
+        def get_sorted():
+            if "s" not in cache:
+                cache["s"] = jnp.sort(d, axis=-1)
+            return cache["s"]
+
+        env = {"d_orig": d_orig, "sorted": get_sorted, "key": key}
+        result = None
+        for i, (name, kw, scale) in enumerate(_parse_modes(spec, "rscale")):
+            cur = self._res(name, d, {**env, "key": jax.random.fold_in(key, i)}, kw) * scale
+            result = cur if result is None else result + cur
+        return result
+
+    def _octave(self, ctx, state, key, octave: int, grid3d, scale: float):
+        fp = self._feature_points(state, octave)  # (B, C, N, 3)
+        g = (grid3d[None, None, :, :, None, :] * scale) % 1.0  # (1,1,H,W,1,3)
+        f = (fp[:, :, None, None, :, :] * scale) % 1.0  # (B,C,1,1,N,3)
+        d_orig = (g - f + 0.5) % 1.0 - 0.5  # toroidal wrap, [-0.5, 0.5)
+        kd, kr = jax.random.split(key)
+        d = self._apply_distance(d_orig, octave, kd)
+        return self._apply_result(d, d_orig, octave, kr)
 
     def generate(self, ctx, state, key, sigma, sigma_next):
-        raise NotImplementedError("voronoi noise generator not yet implemented")
+        h, w = ctx.height, ctx.width
+        kfp, krest = jax.random.split(key)
+        # z-max policy (py/noise_generation.py:1871-1884); the reference's
+        # "wrap" branch assigns a typo'd attribute (self.curr_z) making it a
+        # no-op — implemented correctly here.
+        z, zinc = state["z"], state["zinc"]
+        over = (jnp.abs(self.z_initial - z) > abs(self.z_max)) | (self.z_max == 0)
+        if self.z_max_mode == "reset":
+            fresh, state = self._draw_feature_points(ctx, state, kfp, sigma, sigma_next)
+            state = {**state, "fp": tuple(
+                jnp.where(over, f_new, f_old)
+                for f_new, f_old in zip(fresh, state["fp"])
+            )}
+            z = jnp.where(over, float(self.z_initial), z)
+        elif self.z_max_mode == "bounce":
+            zinc = jnp.where(over, -zinc, zinc)
+            z = jnp.where(over, z + zinc, z)
+        else:  # wrap
+            z = jnp.where(over, float(self.z_initial), z)
+        z_range = fallback(self.z_range, max(h, w))
+        z_norm = (z % z_range) / z_range
+        state = {**state, "z": z + zinc, "zinc": zinc}
+
+        ys = jnp.linspace(0, h - 1, h, dtype=ctx.dtype) / h
+        xs = jnp.linspace(0, w - 1, w, dtype=ctx.dtype) / w
+        grid = jnp.stack(jnp.meshgrid(ys, xs, indexing="ij"), axis=-1)
+        grid3d = jnp.concatenate(
+            [grid, jnp.full((h, w, 1), z_norm, ctx.dtype)], axis=-1)
+
+        result = jnp.zeros(ctx.shape, ctx.dtype)
+        amplitude = self.initial_amplitude
+        scale = self.initial_scale
+        total = 0.0
+        for octave in range(self.octaves):
+            out = self._octave(ctx, state, jax.random.fold_in(krest, octave),
+                               octave, grid3d, scale)
+            result = result + out * amplitude
+            total += abs(amplitude)
+            amplitude *= self.gain
+            scale *= self.lacunarity
+        return result / (total if total != 0 else 1.0), state

@@ -1,0 +1,240 @@
+"""Separable 1D/2D DWT + inverse in pure JAX (XLA conv kernels).
+
+Replaces pytorch_wavelets' DWTForward/DWTInverse/DWT1D for the reference's
+wavelet noise, wavelet-filtered noise and Wavelet CFG
+(py/wavelet_functions.py:23-145). Output layout matches pytorch_wavelets:
+
+- 2D forward: ``(yl, [yh_1, ..., yh_J])`` with ``yh_j`` shaped
+  ``(B, C, 3, H_j, W_j)``, orientation order (LH, HL, HH) = (horizontal
+  detail, vertical detail, diagonal).
+- 1D forward (3D latents): ``(yl, [yh_1, ..., yh_J])`` with ``yh_j``
+  shaped ``(B, C, N_j)``.
+
+Padding modes: zero, symmetric, reflect, replicate/constant, periodization,
+periodic. All shapes are static functions of (input shape, filter length,
+mode) — scan/jit-safe. Perfect reconstruction is exact for periodization
+and achieved for the padded modes by synthesizing at the padded length and
+cropping the analysis-pad offset (verified numerically in tests).
+
+TPU notes: each level is one grouped conv (channels folded into batch) with
+stride 2 — XLA maps these onto the MXU as im2col matmuls; per-band scaling
+fuses into the inverse convs.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .coeffs import WaveletFilters, get_wavelet
+
+_PAD_MODES = {
+    "zero": "constant",
+    "constant": "edge",  # pywt "constant" = replicate edge value
+    "replicate": "edge",
+    "symmetric": "symmetric",
+    "reflect": "reflect",
+    "periodic": "wrap",
+    "periodization": "wrap",
+}
+
+
+def _resolve(wave) -> WaveletFilters:
+    return wave if isinstance(wave, WaveletFilters) else get_wavelet(wave)
+
+
+def _pad_last(x, lo, hi, mode):
+    if lo == 0 and hi == 0:
+        return x
+    cfg = [(0, 0)] * (x.ndim - 1) + [(lo, hi)]
+    if mode == "zero":
+        return jnp.pad(x, cfg)
+    return jnp.pad(x, cfg, mode=_PAD_MODES[mode])
+
+
+def _conv_down2(xr, dec_lo, dec_hi, dtype):
+    """Stride-2 valid convolution with both decomposition filters."""
+    filt = jnp.stack([
+        jnp.asarray(dec_lo[::-1].copy()), jnp.asarray(dec_hi[::-1].copy())
+    ])[:, None, :].astype(dtype)
+    return jax.lax.conv_general_dilated(
+        xr, filt, window_strides=(2,), padding="VALID",
+        dimension_numbers=("NCH", "OIH", "NCH"),
+    )
+
+
+def _afb1d(x, dec_lo, dec_hi, mode):
+    """Analysis filter bank along the last axis: (..., N) → 2×(..., M).
+
+    Phase-1 downsampling (pywt convention): coefficient i sees window
+    xp[2i+1 : 2i+1+L] of the (L-1, L-1)-padded signal, giving pywt lengths
+    floor((N+L-1)/2) for padded modes and N/2 for periodization.
+    """
+    L = len(dec_lo)
+    n = x.shape[-1]
+    lead = x.shape[:-1]
+    xr = x.reshape((-1, 1, n))
+    if mode == "periodization":
+        if n % 2:
+            xr = jnp.concatenate([xr, xr[..., -1:]], axis=-1)
+            n += 1
+        xp = jnp.concatenate(
+            [xr[..., -(L - 1):] if L > 1 else xr[..., :0], xr,
+             xr[..., : L - 1] if L > 1 else xr[..., :0]], axis=-1)
+        out = _conv_down2(xp[..., 1:] if L > 1 else xp, dec_lo, dec_hi, x.dtype)
+        out = out[..., : n // 2]
+    else:
+        xp = _pad_last(xr, L - 1, L - 1, mode)
+        out = _conv_down2(xp[..., 1:] if L > 1 else xp, dec_lo, dec_hi, x.dtype)
+        keep = (n + L - 1) // 2
+        out = out[..., :keep]
+    lo = out[:, 0].reshape(lead + (out.shape[-1],))
+    hi = out[:, 1].reshape(lead + (out.shape[-1],))
+    return lo, hi
+
+
+def _sfb_core(pair, rec_lo, rec_hi):
+    """Full synthesis conv: zero-stuff upsample by 2 (lhs_dilation), full
+    convolution with the rec filters, bands summed in-conv.
+    Input (B, 2, M) → output (B, 2M + L - 2):
+    z[k] = Σ_i lo[i]·rec_lo[k−2i] + hi[i]·rec_hi[k−2i]."""
+    L = len(rec_lo)
+    # (O=1, I=2, L); filters reversed so XLA's correlation = true convolution
+    filt = jnp.stack([jnp.asarray(rec_lo[::-1].copy()),
+                      jnp.asarray(rec_hi[::-1].copy())])[None, :, :].astype(pair.dtype)
+    return jax.lax.conv_general_dilated(
+        pair, filt, window_strides=(1,), padding=[(L - 1, L - 1)],
+        lhs_dilation=(2,), dimension_numbers=("NCH", "OIH", "NCH"),
+    )[:, 0]
+
+
+def _sfb1d(lo, hi, rec_lo, rec_hi, mode, out_len):
+    """Synthesis filter bank along the last axis (inverse of _afb1d)."""
+    L = len(rec_lo)
+    lead = lo.shape[:-1]
+    m = lo.shape[-1]
+    pair = jnp.stack([lo, hi], axis=-2).reshape((-1, 2, m))
+    if mode == "periodization":
+        p = max(1, (L + 1) // 2)
+        pair = jnp.concatenate([pair[..., -p:], pair, pair[..., :p]], axis=-1)
+        out = _sfb_core(pair, rec_lo, rec_hi)
+        out = out[..., L - 2 + 2 * p : L - 2 + 2 * p + out_len] if L > 2 else \
+            out[..., 2 * p : 2 * p + out_len]
+    else:
+        out = _sfb_core(pair, rec_lo, rec_hi)
+        out = out[..., L - 2 : L - 2 + out_len] if L > 2 else out[..., :out_len]
+    return out.reshape(lead + (out.shape[-1],))
+
+
+def _even(n: int) -> int:
+    return n + (n % 2)
+
+
+def dwt1d(x, wave="db4", level=3, mode="symmetric"):
+    """Multi-level 1D DWT over the last axis of (B, C, N)."""
+    w = _resolve(wave)
+    yl = x
+    yh = []
+    for _ in range(level):
+        yl, hi = _afb1d(yl, w.dec_lo, w.dec_hi, mode)
+        yh.append(hi)
+    return yl, yh
+
+
+def idwt1d(yl, yh, wave="db4", mode="symmetric", out_len=None):
+    w = _resolve(wave)
+    L = w.filt_len
+    x = yl
+    for j, hi in enumerate(reversed(yh)):
+        if x.shape[-1] != hi.shape[-1]:
+            x = x[..., : hi.shape[-1]]
+        if mode == "periodization":
+            target = hi.shape[-1] * 2
+        else:
+            remaining = len(yh) - 1 - j
+            target = _ideal_len(out_len, len(yh), remaining, L, mode) if out_len else hi.shape[-1] * 2
+        x = _sfb1d(x, hi, w.rec_lo, w.rec_hi, mode, target)
+    if out_len is not None:
+        x = x[..., :out_len]
+    return x
+
+
+def _coeff_len(n: int, L: int, mode: str) -> int:
+    if mode == "periodization":
+        return (n + 1) // 2
+    return (n + L - 1) // 2
+
+
+def _ideal_len(out_len: int, levels: int, remaining: int, L: int, mode: str) -> int:
+    """Length the signal had at `remaining` levels deep during analysis."""
+    n = out_len
+    for _ in range(remaining):
+        n = _coeff_len(n, L, mode)
+    return n
+
+
+def _afb2d(x, w, mode):
+    lo, hi = _afb1d(x, w.dec_lo, w.dec_hi, mode)  # along W
+    xt_lo = jnp.swapaxes(lo, -1, -2)
+    xt_hi = jnp.swapaxes(hi, -1, -2)
+    ll, lh = _afb1d(xt_lo, w.dec_lo, w.dec_hi, mode)  # along H
+    hl, hh = _afb1d(xt_hi, w.dec_lo, w.dec_hi, mode)
+    ll = jnp.swapaxes(ll, -1, -2)
+    lh = jnp.swapaxes(lh, -1, -2)
+    hl = jnp.swapaxes(hl, -1, -2)
+    hh = jnp.swapaxes(hh, -1, -2)
+    # pytorch_wavelets orientation order: (LH, HL, HH) where LH = lowpass
+    # along W / highpass along H
+    return ll, jnp.stack([lh, hl, hh], axis=2)
+
+
+def _sfb2d(ll, bands, w, mode, out_hw):
+    lh, hl, hh = bands[:, :, 0], bands[:, :, 1], bands[:, :, 2]
+    h_target, w_target = out_hw
+    ll_t = jnp.swapaxes(ll, -1, -2)
+    lh_t = jnp.swapaxes(lh, -1, -2)
+    hl_t = jnp.swapaxes(hl, -1, -2)
+    hh_t = jnp.swapaxes(hh, -1, -2)
+    lo = jnp.swapaxes(_sfb1d(ll_t, lh_t, w.rec_lo, w.rec_hi, mode, h_target), -1, -2)
+    hi = jnp.swapaxes(_sfb1d(hl_t, hh_t, w.rec_lo, w.rec_hi, mode, h_target), -1, -2)
+    return _sfb1d(lo, hi, w.rec_lo, w.rec_hi, mode, w_target)
+
+
+def dwt2d(x, wave="db4", level=3, mode="symmetric"):
+    """Multi-level 2D DWT of (B, C, H, W) → (yl, [yh_1...yh_J])."""
+    w = _resolve(wave)
+    yl = x
+    yh = []
+    for _ in range(level):
+        yl, bands = _afb2d(yl, w, mode)
+        yh.append(bands)
+    return yl, yh
+
+
+def idwt2d(yl, yh, wave="db4", mode="symmetric", out_hw=None):
+    """Inverse of :func:`dwt2d`. ``out_hw`` crops to the original spatial
+    size (required for non-periodization modes with odd sizes)."""
+    w = _resolve(wave)
+    L = w.filt_len
+    x = yl
+    n_levels = len(yh)
+    for j, bands in enumerate(reversed(yh)):
+        bh, bw = bands.shape[-2], bands.shape[-1]
+        if x.shape[-2:] != (bh, bw):
+            x = x[..., :bh, :bw]
+        remaining = n_levels - 1 - j
+        if out_hw is not None and mode != "periodization":
+            th = _ideal_len(out_hw[0], n_levels, remaining, L, mode)
+            tw = _ideal_len(out_hw[1], n_levels, remaining, L, mode)
+        elif out_hw is not None:
+            th = _ideal_len(out_hw[0], n_levels, remaining, L, mode)
+            tw = _ideal_len(out_hw[1], n_levels, remaining, L, mode)
+        else:
+            th, tw = bh * 2, bw * 2
+        x = _sfb2d(x, bands, w, mode, (th, tw))
+    if out_hw is not None:
+        x = x[..., : out_hw[0], : out_hw[1]]
+    return x
