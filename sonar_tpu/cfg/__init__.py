@@ -1,0 +1,25 @@
+"""Model-patch subsystems that consume the denoiser (reference L4):
+Wavelet CFG, FreeU-Extreme, latent operations, model-sampling protocol."""
+
+from .freeu import FreeUExtremeConfig, ffilter, make_freeu_patches  # noqa: F401
+from .latent_ops import (  # noqa: F401
+    SonarLatentOperation,
+    SonarLatentOperationAdvanced,
+    SonarLatentOperationNoise,
+    SonarLatentOperationQuantileFilter,
+    apply_operations,
+)
+from .model_sampling import ContinuousEDM, DiscreteSampling, make_beta_sigmas  # noqa: F401
+from .wavelet_cfg import (  # noqa: F401
+    WaveletCFG,
+    WCFGPercentages,
+    WCFGRule,
+    WCFGRules,
+    WCFGScales,
+    WCFGScalesRange,
+    WCFGScheduledFloat,
+    WCFGScheduledScale,
+    WCFGWaveletSettings,
+    basic_cfg,
+    schedule_interp,
+)

@@ -1,0 +1,162 @@
+"""FreeU-Extreme: power-filtered scaling of UNet block activations
+(reference: py/nodes/freeu_extreme.py).
+
+TPU redesign: instead of ComfyUI ModelPatcher hooks, configs compile into
+``block_patches`` for :func:`sonar_tpu.models.unet.unet_apply` — pure
+functions over activations. The rfft filter surface is a static function of
+(config, activation shape), built host-side once per compile (the
+reference's runtime filter_cache, freeu_extreme.py:12-22, becomes XLA
+constant folding); the sampling-percentage window is a traced select.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Sequence
+
+import jax.numpy as jnp
+
+from ..core.blend import BLENDING_MODES
+from ..noise.power import PowerFilter
+
+
+def ffilter(x, pfilter: PowerFilter, normalization_factor: float = 1.0):
+    """rfft2 · filter · irfft2 in float32 (freeu_extreme.py:10-29)."""
+    filt = PowerFilter.normalize(
+        pfilter.build(x.shape), x.shape,
+        normalization_factor=normalization_factor,
+    )
+    x32 = x.astype(jnp.float32)
+    x_rfft = jnp.fft.rfft2(x32, norm="ortho")
+    out = jnp.fft.irfft2(x_rfft * jnp.asarray(filt, jnp.float32),
+                         s=x.shape[-2:], norm="ortho")
+    return out.astype(x.dtype)
+
+
+@dataclasses.dataclass
+class FreeUExtremeConfig:
+    """One filter rule (freeu_extreme.py:113-255). ``frux_config`` chains."""
+
+    target: str = "backbone"  # backbone | skip | both
+    stage_1: bool = True
+    stage_2: bool = False
+    stage_3: bool = False
+    start: float = 0.0
+    end: float = 1.0
+    slice: float = 1.0
+    slice_offset: float = 0.0
+    filter_norm: float = 0.0
+    scale: float = 1.0
+    blend: float = 1.0
+    blend_mode: str = "lerp"
+    hidden_mean: bool = True
+    final: bool = True
+    sonar_power_filter: PowerFilter | None = None
+    frux_config: "FreeUExtremeConfig | None" = None
+
+    def get_config_list(self) -> list["FreeUExtremeConfig"]:
+        result = [self]
+        curr = self
+        while (cfg := curr.frux_config) is not None:
+            curr = cfg
+            if (cfg.start >= 1 or cfg.end <= 0 or cfg.blend == 0
+                    or not (cfg.stage_1 or cfg.stage_2 or cfg.stage_3)):
+                continue
+            result.append(cfg)
+        result.reverse()
+        return result
+
+    def get_scale(self, h):
+        """Scalar scale or FreeU-v2 hidden-mean per-pixel scale
+        (freeu_extreme.py:187-197). ``h`` is NCHW."""
+        if not self.hidden_mean:
+            return self.scale
+        hmean = jnp.mean(h, axis=1, keepdims=True)
+        flat = hmean.reshape(hmean.shape[0], -1)
+        hmax = jnp.max(flat, axis=-1).reshape(-1, 1, 1, 1)
+        hmin = jnp.min(flat, axis=-1).reshape(-1, 1, 1, 1)
+        hmean = (hmean - hmin) / jnp.where(hmax == hmin, 1.0, hmax - hmin)
+        return 1.0 + (self.scale - 1.0) * hmean
+
+    def stage_enabled(self, stage: int) -> bool:
+        return bool(getattr(self, f"stage_{stage}"))
+
+    def target_matches(self, is_skip: bool) -> bool:
+        want = "skip" if is_skip else "backbone"
+        return self.target in {want, "both"}
+
+    def apply(self, x, pct):
+        """Filtered + scaled channel slice blended back; window gating is a
+        traced select on ``pct``."""
+        features = x.shape[1]
+        slice_size = int(features * self.slice)
+        slice_offs = int(features * self.slice_offset)
+        scale = self.get_scale(x)
+        xs = x[:, slice_offs : slice_offs + slice_size]
+        if self.sonar_power_filter is not None:
+            filtered = ffilter(xs, self.sonar_power_filter,
+                               normalization_factor=self.filter_norm)
+        else:
+            filtered = xs
+        scale_slice = (
+            scale if isinstance(scale, (int, float))
+            else scale  # hidden-mean scale broadcasts over channel slice
+        )
+        xslice = filtered * scale_slice
+        if self.blend != 1.0:
+            xslice = BLENDING_MODES[self.blend_mode](xs, xslice, self.blend)
+        in_window = (pct >= self.start) & (pct <= self.end)
+        new_x = x.at[:, slice_offs : slice_offs + slice_size].set(xslice)
+        return jnp.where(in_window, new_x, x)
+
+
+def _stage_of(channels: int, model_channels: int) -> int | None:
+    return {model_channels * 4: 1, model_channels * 2: 2, model_channels: 3}.get(
+        channels
+    )
+
+
+def make_freeu_patches(*, model_sampling, model_channels: int,
+                       input_config: FreeUExtremeConfig | None = None,
+                       middle_config: FreeUExtremeConfig | None = None,
+                       output_config: FreeUExtremeConfig | None = None) -> dict:
+    """Build ``block_patches`` for :func:`sonar_tpu.models.unet.unet_apply`
+    (replaces FreeUExtremeNode's ModelPatcher installation,
+    freeu_extreme.py:258-334). NHWC activations are transposed to NCHW for
+    the stage/channel logic and back."""
+    icfg = () if input_config is None else tuple(input_config.get_config_list())
+    mcfg = () if middle_config is None else tuple(middle_config.get_config_list())
+    ocfg = () if output_config is None else tuple(output_config.get_config_list())
+
+    def handler(cfgs, x_nhwc, ctx, is_skip=False):
+        x = jnp.transpose(x_nhwc, (0, 3, 1, 2))
+        stage = _stage_of(x.shape[1], model_channels)
+        if stage is None:
+            return x_nhwc
+        sigma = jnp.max(jnp.asarray(ctx["sigma"]))
+        pct = 1.0 - model_sampling.timestep(sigma) / 999.0
+        applied = False
+        for cfg in cfgs:
+            if not cfg.stage_enabled(stage) or not cfg.target_matches(is_skip):
+                continue
+            x = cfg.apply(x, pct)
+            applied = True
+            if cfg.final:
+                break
+        if not applied:
+            return x_nhwc
+        return jnp.transpose(x, (0, 2, 3, 1))
+
+    patches: dict[str, list[Callable]] = {}
+    if icfg:
+        patches["input"] = [lambda h, ctx: handler(icfg, h, ctx)]
+    if mcfg:
+        patches["middle"] = [lambda h, ctx: handler(mcfg, h, ctx)]
+    if ocfg:
+        patches["output"] = [
+            lambda h, hsp, ctx: (
+                handler(ocfg, h, ctx),
+                handler(ocfg, hsp, ctx, is_skip=True),
+            )
+        ]
+    return patches

@@ -1,0 +1,83 @@
+"""Model-sampling protocol: the minimal surface WCFG/FreeU need from the
+host (ComfyUI's ``model.model_sampling``): ``sigma_min``, ``sigma_max`` and
+``timestep(sigma) -> [0, 999]``.
+
+Two implementations:
+- :class:`DiscreteSampling` — a 1000-entry sigma table (SD1.5/SDXL style);
+  ``timestep`` is a traced interpolated table lookup.
+- :class:`ContinuousEDM` — log-sigma linear mapping (EDM-style models).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def make_beta_sigmas(n: int = 1000, beta_start: float = 0.00085,
+                     beta_end: float = 0.012) -> np.ndarray:
+    """Standard scaled-linear DDPM sigma table (SD1.x/SDXL)."""
+    betas = np.linspace(beta_start**0.5, beta_end**0.5, n) ** 2
+    alphas_cumprod = np.cumprod(1.0 - betas)
+    return np.sqrt((1.0 - alphas_cumprod) / alphas_cumprod)
+
+
+@dataclasses.dataclass(frozen=True)
+class DiscreteSampling:
+    sigmas: np.ndarray = dataclasses.field(default_factory=make_beta_sigmas)
+
+    @property
+    def sigma_min(self) -> float:
+        return float(self.sigmas[0])
+
+    @property
+    def sigma_max(self) -> float:
+        return float(self.sigmas[-1])
+
+    def timestep(self, sigma):
+        """Traced: fractional index of sigma in the (ascending) table —
+        piecewise-linear in log-sigma, any input shape."""
+        log_sigmas = jnp.log(jnp.asarray(self.sigmas, jnp.float32))
+        log_sigma = jnp.log(jnp.maximum(jnp.asarray(sigma, jnp.float32), 1e-10))
+        return jnp.interp(
+            log_sigma, log_sigmas,
+            jnp.arange(len(self.sigmas), dtype=jnp.float32),
+        )
+
+    def percent_to_sigma(self, percent: float) -> float:
+        """ComfyUI's percent→sigma (1.0 = sigma_min end, 0.0 = sigma_max)."""
+        if percent <= 0.0:
+            return 999999999.9
+        if percent >= 1.0:
+            return 0.0
+        ts = round((1.0 - percent) * 999)
+        return float(self.sigmas[max(0, min(999, ts))])
+
+
+@dataclasses.dataclass(frozen=True)
+class ContinuousEDM:
+    sigma_min_val: float = 0.002
+    sigma_max_val: float = 120.0
+
+    @property
+    def sigma_min(self) -> float:
+        return self.sigma_min_val
+
+    @property
+    def sigma_max(self) -> float:
+        return self.sigma_max_val
+
+    def timestep(self, sigma):
+        lo, hi = np.log(self.sigma_min_val), np.log(self.sigma_max_val)
+        pct = (jnp.log(jnp.maximum(jnp.asarray(sigma), 1e-10)) - lo) / (hi - lo)
+        return jnp.clip(pct, 0.0, 1.0) * 999.0
+
+    def percent_to_sigma(self, percent: float) -> float:
+        if percent <= 0.0:
+            return 999999999.9
+        if percent >= 1.0:
+            return 0.0
+        lo, hi = np.log(self.sigma_min_val), np.log(self.sigma_max_val)
+        return float(np.exp(hi + (lo - hi) * percent))

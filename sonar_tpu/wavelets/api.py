@@ -108,15 +108,19 @@ def expand_yh_scales(yh: Sequence, *, yh_scales=1.0):
     yhlen = len(yh)
     yh_shape = yh[0].shape
     olen = yh_shape[2] if len(yh_shape) > 3 else 1
-    if isinstance(yh_scales, (float, int)):
-        return ((float(yh_scales),) * olen,) * yhlen
+    def _num(v):
+        # traced jax scalars pass through; python numbers normalize to float
+        return float(v) if isinstance(v, (float, int)) else v
+
+    if isinstance(yh_scales, (float, int)) or isinstance(yh_scales, jax.Array):
+        return ((_num(yh_scales),) * olen,) * yhlen
     otemplate = (1.0,) * olen
     yh_scales = tuple(
-        (float(band),) * olen
-        if isinstance(band, (float, int))
+        (_num(band),) * olen
+        if isinstance(band, (float, int)) or isinstance(band, jax.Array)
         else (
             (
-                *(float(i) for i in band[:olen]),
+                *(_num(i) for i in band[:olen]),
                 *otemplate[: olen - len(band[:olen])],
             )
             if isinstance(band, (tuple, list))

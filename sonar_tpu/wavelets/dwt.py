@@ -81,9 +81,9 @@ def _afb1d(x, dec_lo, dec_hi, mode):
         if n % 2:
             xr = jnp.concatenate([xr, xr[..., -1:]], axis=-1)
             n += 1
-        xp = jnp.concatenate(
-            [xr[..., -(L - 1):] if L > 1 else xr[..., :0], xr,
-             xr[..., : L - 1] if L > 1 else xr[..., :0]], axis=-1)
+        # modular-index circular pad — valid even when n < L-1 (deep levels)
+        idx = jnp.arange(-(L - 1), n + L - 1) % n
+        xp = xr[..., idx]
         out = _conv_down2(xp[..., 1:] if L > 1 else xp, dec_lo, dec_hi, x.dtype)
         out = out[..., : n // 2]
     else:
@@ -119,7 +119,8 @@ def _sfb1d(lo, hi, rec_lo, rec_hi, mode, out_len):
     pair = jnp.stack([lo, hi], axis=-2).reshape((-1, 2, m))
     if mode == "periodization":
         p = max(1, (L + 1) // 2)
-        pair = jnp.concatenate([pair[..., -p:], pair, pair[..., :p]], axis=-1)
+        idx = jnp.arange(-p, m + p) % m  # circular even when m < p
+        pair = pair[..., idx]
         out = _sfb_core(pair, rec_lo, rec_hi)
         out = out[..., L - 2 + 2 * p : L - 2 + 2 * p + out_len] if L > 2 else \
             out[..., 2 * p : 2 * p + out_len]

@@ -1,0 +1,191 @@
+"""Wavelet CFG / FreeU / latent-ops subsystem tests (SURVEY §2.4-§2.5)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sonar_tpu.cfg import (
+    ContinuousEDM,
+    DiscreteSampling,
+    FreeUExtremeConfig,
+    SonarLatentOperation,
+    SonarLatentOperationAdvanced,
+    SonarLatentOperationNoise,
+    SonarLatentOperationQuantileFilter,
+    WaveletCFG,
+    WCFGRules,
+    basic_cfg,
+    make_freeu_patches,
+    schedule_interp,
+)
+from sonar_tpu.models import UNetConfig, init_unet_params, unet_apply
+from sonar_tpu.noise import get_noise_item
+from sonar_tpu.noise.power import PowerFilter
+
+
+@pytest.fixture(scope="module")
+def cfg_args():
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((1, 4, 16, 16)), jnp.float32) * 5.0
+    cd = jnp.asarray(rng.standard_normal((1, 4, 16, 16)), jnp.float32)
+    ud = jnp.asarray(rng.standard_normal((1, 4, 16, 16)), jnp.float32)
+    return dict(
+        input=x, sigma=jnp.asarray([5.0]), cond=x - cd * 5, uncond=x - ud * 5,
+        cond_denoised=cd, uncond_denoised=ud, cond_scale=7.5,
+        model_sampling=DiscreteSampling(),
+        sample_sigmas=np.linspace(14.6, 0.03, 21),
+    )
+
+
+def test_model_sampling_timestep_monotone():
+    ms = DiscreteSampling()
+    ts = [float(ms.timestep(jnp.asarray(s))) for s in (0.03, 1.0, 5.0, 14.0)]
+    assert ts == sorted(ts)
+    assert 0 <= ts[0] and ts[-1] <= 999
+    edm = ContinuousEDM()
+    assert float(edm.timestep(jnp.asarray(120.0))) == pytest.approx(999.0)
+    # percent_to_sigma round trips the extremes
+    assert ms.percent_to_sigma(0.0) > 1e6
+    assert ms.percent_to_sigma(1.0) == 0.0
+
+
+def test_schedule_interp_shapes():
+    for name in ("linear", "log", "exp", "half_cosine", "sine"):
+        v = float(schedule_interp(name, jnp.asarray(0.5)))
+        assert 0.0 <= v <= 1.0, name
+    assert float(schedule_interp("linear", jnp.asarray(0.3))) == pytest.approx(0.3)
+    assert float(schedule_interp("half_cosine", jnp.asarray(0.0))) == pytest.approx(0.0)
+    assert float(schedule_interp("half_cosine", jnp.asarray(1.0))) == pytest.approx(1.0)
+
+
+def test_wcfg_uniform_diff_scale_equals_basic_cfg(cfg_args):
+    rules = WCFGRules.build(wave="db4", level=3, padding_mode="periodization",
+                            high_precision_mode=False,
+                            diff=dict(yl_scale=7.5, yh_scales=7.5))
+    out = WaveletCFG(rules=rules)(cfg_args)
+    ref = basic_cfg(cfg_args)
+    assert float(jnp.abs(out - ref).max()) < 1e-4
+
+
+def test_wcfg_out_of_window_falls_back(cfg_args):
+    rules = WCFGRules.build(start_sigma=2.0, end_sigma=0.5, wave="haar", level=2)
+    out = WaveletCFG(rules=rules)(cfg_args)  # sigma=5 outside [0.5, 2]
+    assert float(jnp.abs(out - basic_cfg(cfg_args)).max()) < 1e-4
+
+
+def test_wcfg_scheduled_scales_and_multirule_jit(cfg_args):
+    rules = WCFGRules.build(
+        start_sigma=10.0, end_sigma=3.0, wave="haar", level=1,
+        high_precision_mode=False,
+        diff=dict(yl_scale=7.5, yh_scales=[7.5, "fill"],
+                  scales_end=dict(yl_scale=2.0, yh_scales=1.0),
+                  schedule="half_cosine", schedule_mode="sampling"),
+        blend_strength=dict(value_start=1.0, value_end=0.4,
+                            schedule="linear", schedule_mode="sampling"),
+        rules=[dict(start_sigma=3.0, end_sigma=0.5, wave="db2", level=1,
+                    target_mode="noise_norm", high_precision_mode=False,
+                    diff=dict(yl_scale=1.2, yh_scales=0.8))],
+    )
+    wcfg = WaveletCFG(rules=rules)
+    run = jax.jit(lambda sig: wcfg(dict(cfg_args) | {"sigma": sig.reshape(1)}))
+    for s in (12.0, 5.0, 1.0, 0.1):
+        out = run(jnp.asarray(s, jnp.float32))
+        assert np.isfinite(np.asarray(out)).all(), s
+
+
+def test_wcfg_target_modes(cfg_args):
+    for target in ("denoised", "noise", "noise_norm"):
+        rules = WCFGRules.build(wave="haar", level=2, target_mode=target,
+                                high_precision_mode=False)
+        out = WaveletCFG(rules=rules)(cfg_args)
+        assert np.isfinite(np.asarray(out)).all(), target
+
+
+def test_wcfg_latent_op_hooks(cfg_args):
+    calls = []
+
+    def op(latent, sigma=None, **kw):
+        calls.append("hit")
+        return latent * 1.0
+
+    rules = WCFGRules.build(wave="haar", level=1, high_precision_mode=False)
+    WaveletCFG(rules=rules, operation_cond=op, operation_result=op)(cfg_args)
+    assert len(calls) == 2
+
+
+# -- latent operations ---------------------------------------------------------
+
+
+def test_latent_operation_window():
+    op = SonarLatentOperation(start_sigma=5.0, end_sigma=1.0,
+                              op=lambda latent: latent * 2.0)
+    x = jnp.ones((1, 4, 8, 8))
+    assert float(op(x, sigma=3.0).max()) == 2.0
+    assert float(op(x, sigma=10.0).max()) == 1.0
+
+
+def test_latent_operation_advanced_quirk():
+    x = jnp.ones((1, 4, 8, 8))
+    # strict compat: output_multiplier applied only when == 1.0 (reference
+    # quirk at py/latent_ops.py:102) — fixed mode applies it when != 1.0
+    # default blend_mode inject, strength 1: result = t + diff
+    op_strict = SonarLatentOperationAdvanced(
+        ops=(lambda latent: latent * 3.0,), output_multiplier=2.0)
+    op_fixed = SonarLatentOperationAdvanced(
+        ops=(lambda latent: latent * 3.0,), output_multiplier=2.0,
+        strict_reference_compat=False)
+    # strict: multiplier NOT applied (2.0 != 1.0) → diff = 3-1 = 2 → 1+2 = 3
+    assert float(op_strict(x, sigma=1.0).max()) == pytest.approx(3.0)
+    # fixed: multiplier applied → diff = 6-1 = 5 → 1+5 = 6
+    assert float(op_fixed(x, sigma=1.0).max()) == pytest.approx(6.0)
+
+
+def test_latent_operation_noise_and_quantile():
+    x = jnp.zeros((1, 4, 8, 8))
+    opn = SonarLatentOperationNoise(custom_noise=get_noise_item("gaussian"), seed=3)
+    out = opn(x, sigma=jnp.asarray(2.0))
+    assert float(jnp.std(out)) > 0.5
+    opq = SonarLatentOperationQuantileFilter(quantile=0.9, strategy="clamp")
+    y = jnp.asarray(np.random.default_rng(1).standard_normal((1, 4, 8, 8)) * 3,
+                    jnp.float32)
+    assert np.isfinite(np.asarray(opq(y, sigma=1.0))).all()
+
+
+# -- FreeU -----------------------------------------------------------------------
+
+
+def test_freeu_patches_change_output():
+    cfg = UNetConfig(model_channels=16, channel_mult=(1, 2), num_res_blocks=1,
+                     attention_levels=(), norm_groups=4)
+    params = init_unet_params(jax.random.key(0), cfg)
+    x = jax.random.normal(jax.random.key(1), (1, 4, 16, 16))
+    sigma = jnp.asarray([5.0])
+    base = unet_apply(params, x, sigma, cfg)
+    fcfg = FreeUExtremeConfig(
+        target="both", stage_1=True, stage_2=True, stage_3=True,
+        scale=1.5, slice=0.75,
+        sonar_power_filter=PowerFilter(alpha=0.5),
+    )
+    patches = make_freeu_patches(
+        model_sampling=DiscreteSampling(), model_channels=cfg.model_channels,
+        input_config=fcfg, middle_config=fcfg, output_config=fcfg)
+    patched = unet_apply(params, x, sigma, cfg, block_patches=patches)
+    assert patched.shape == base.shape
+    assert not np.allclose(np.asarray(patched), np.asarray(base))
+    # out-of-window pct → identity
+    fcfg_off = FreeUExtremeConfig(target="both", stage_1=True, stage_2=True,
+                                  stage_3=True, scale=2.0, start=0.99, end=1.0,
+                                  sonar_power_filter=PowerFilter(alpha=0.5))
+    patches_off = make_freeu_patches(
+        model_sampling=DiscreteSampling(), model_channels=cfg.model_channels,
+        input_config=fcfg_off)
+    off = unet_apply(params, x, sigma, cfg, block_patches=patches_off)
+    assert np.allclose(np.asarray(off), np.asarray(base), atol=1e-5)
+
+
+def test_freeu_config_chain_filtering():
+    leaf = FreeUExtremeConfig(stage_1=True, blend=0.0)  # skipped (blend 0)
+    mid = FreeUExtremeConfig(stage_1=True, frux_config=leaf)
+    head = FreeUExtremeConfig(stage_1=True, frux_config=mid)
+    assert len(head.get_config_list()) == 2
