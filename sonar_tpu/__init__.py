@@ -18,4 +18,4 @@ blepping/ComfyUI-sonar (e.g. ``py/sonar.py:309-320``).
 
 __version__ = "0.1.0"
 
-from . import core, noise, ops, samplers, utils  # noqa: F401
+from . import api, cfg, core, models, noise, ops, parallel, samplers, utils, wavelets  # noqa: F401

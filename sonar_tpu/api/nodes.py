@@ -1,0 +1,734 @@
+"""Node-level API parity: every reference node name maps to a builder with
+the same parameter surface (reference: py/nodes/*, 48 entries in
+NODE_CLASS_MAPPINGS).
+
+This is the workflow-porting layer: a ComfyUI-sonar graph's node names and
+widget values translate 1:1 into ``build(node_name, **params)`` calls. The
+ComfyUI-specific inputs are adapted:
+
+- ``model`` inputs (used only for ``model_sampling``) become a
+  ``model_sampling`` object (:mod:`sonar_tpu.cfg.model_sampling`);
+- chain semantics match py/nodes/base.py:225-239: the upstream chain is
+  cloned, the new item appended unless ``factor == 0``, then rescaled;
+- tri-state normalize widgets accept "default"/"forced"/"disabled"
+  (py/nodes/noise_filters.py:137-139) as well as None/True/False.
+
+Builders preserve the reference node quirks (SURVEY §7.3): the composite
+normalize_src/dst swap, the NormalizeToScale dims reuse, the NoiseImage
+channel-map B/G swap.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Callable
+
+import jax.numpy as jnp
+
+from ..cfg import (
+    FreeUExtremeConfig,
+    SonarLatentOperation,
+    SonarLatentOperationAdvanced,
+    SonarLatentOperationNoise,
+    SonarLatentOperationQuantileFilter,
+    WaveletCFG,
+    WCFGRules,
+)
+from ..core.blend import BLENDING_MODES
+from ..core.normalize import scale_noise
+from ..noise import (
+    BlendedNoise,
+    ChannelNoise,
+    CompositeNoise,
+    CustomNoiseParametersNoise,
+    GuidedNoise,
+    LatentOperationFilteredNoise,
+    ModulatedNoise,
+    NoiseChain,
+    NormalizeToScaleNoise,
+    PatternBreakNoise,
+    PerDimNoise,
+    QuantileFilteredNoise,
+    RandomNoise,
+    RepeatedNoise,
+    ResizedNoise,
+    RippleFilteredNoise,
+    ScheduledNoise,
+    ShuffledNoise,
+    TypedNoiseItem,
+)
+from ..noise.collatz import CollatzGenerator
+from ..noise.distro import DistroGenerator
+from ..noise.generators import (
+    HighresPyramidGenerator,
+    OneFGenerator,
+    PowerLawGenerator,
+    PyramidGenerator,
+    PyramidOldGenerator,
+)
+from ..noise.power import PowerFilter, PowerFilterNoiseItem, PowerNoiseItem
+from ..noise.scatternet import ScatternetFilteredNoise
+from ..noise.voronoi import VoronoiGenerator
+from ..noise.wavelet import WaveletFilteredNoise, WaveletGenerator
+from ..samplers.momentum import GuidanceConfig, SonarConfig
+from .functions import (
+    noise_image,
+    noisy_latent_like,
+    sampler_config_override,
+    split_noise_chain,
+)
+
+NODES: dict[str, Callable] = {}
+
+
+def register_node(name: str):
+    def deco(fn):
+        NODES[name] = fn
+        fn.__name__ = f"node_{name}"
+        return fn
+
+    return deco
+
+
+def build(node_name: str, **params):
+    """Build a framework object from a reference node name + widget values."""
+    try:
+        fn = NODES[node_name]
+    except KeyError:
+        valid = ", ".join(sorted(NODES))
+        raise ValueError(f"Unknown node {node_name!r}; valid: {valid}") from None
+    return fn(**params)
+
+
+def tristate(val):
+    """'default'/'forced'/'disabled' → None/True/False (py/nodes/noise_filters.py:137)."""
+    if val is None or isinstance(val, bool):
+        return val
+    return None if val == "default" else val == "forced"
+
+
+def _chain(item, factor, rescale=0.0, sonar_custom_noise_opt=None):
+    """py/nodes/base.py:225-239."""
+    chain = (
+        sonar_custom_noise_opt.clone()
+        if sonar_custom_noise_opt is not None
+        else NoiseChain()
+    )
+    if not isinstance(chain, NoiseChain):
+        chain = NoiseChain([chain])
+    if factor != 0 and item is not None:
+        chain.add(item)
+    return chain if rescale == 0 else chain.rescaled(rescale)
+
+
+def _percent_to_sigma(model_sampling, percent: float) -> float:
+    return model_sampling.percent_to_sigma(percent)
+
+
+# -- base ------------------------------------------------------------------------
+
+
+@register_node("SonarCustomNoise")
+def sonar_custom_noise(*, factor=1.0, rescale=0.0, noise_type="gaussian",
+                       sonar_custom_noise_opt=None, **kwargs):
+    item = TypedNoiseItem(factor, noise_type=noise_type, **kwargs)
+    return _chain(item, factor, rescale, sonar_custom_noise_opt)
+
+
+@register_node("SonarCustomNoiseAdv")
+def sonar_custom_noise_adv(*, factor=1.0, rescale=0.0, noise_type="gaussian",
+                           normalize=None, yaml_parameters=None,
+                           sonar_custom_noise_opt=None, **kwargs):
+    extra = dict(kwargs)
+    if yaml_parameters:
+        import yaml
+
+        parsed = yaml.safe_load(yaml_parameters)
+        if parsed is not None:
+            if not isinstance(parsed, dict):
+                raise ValueError("yaml_parameters must parse to a dict")
+            extra |= parsed
+    item = TypedNoiseItem(factor, noise_type=noise_type,
+                          normalize=tristate(normalize), **extra)
+    return _chain(item, factor, rescale, sonar_custom_noise_opt)
+
+
+# -- momentum samplers (py/nodes/momentum_samplers.py) ----------------------------
+
+
+@register_node("SonarGuidanceConfig")
+def sonar_guidance_config(*, guidance_type="linear", factor=0.01, start_step=1,
+                          end_step=9999, latent=None):
+    return GuidanceConfig(guidance_type=guidance_type, factor=factor,
+                          start_step=start_step, end_step=end_step, latent=latent)
+
+
+def _sonar_config(kwargs) -> SonarConfig:
+    fields = {
+        "momentum", "momentum_hist", "direction", "momentum_start_step",
+        "momentum_end_step", "always_update_history", "momentum_mode", "init",
+        "noise_type", "custom_noise", "rand_init_noise_type",
+        "rand_init_noise_multiplier", "guidance", "blend_mode",
+        "momentum_blend_mode", "history_blend_mode", "guidance_blend_mode",
+    }
+    cfg_kwargs = {k: kwargs.pop(k) for k in list(kwargs) if k in fields}
+    if "momentum_init" in kwargs:
+        cfg_kwargs["init"] = kwargs.pop("momentum_init")
+    if "guidance_cfg_opt" in kwargs:
+        cfg_kwargs["guidance"] = kwargs.pop("guidance_cfg_opt")
+    return SonarConfig(**cfg_kwargs)
+
+
+@register_node("SamplerSonarEuler")
+def sampler_sonar_euler(**kwargs):
+    cfg = _sonar_config(kwargs)
+    return sampler_config_override("sonar_euler", sonar_config=cfg, **kwargs)
+
+
+@register_node("SamplerSonarEulerA")
+def sampler_sonar_euler_a(**kwargs):
+    cfg = _sonar_config(kwargs)
+    return sampler_config_override("sonar_euler_ancestral", sonar_config=cfg, **kwargs)
+
+
+@register_node("SamplerSonarDPMPPSDE")
+def sampler_sonar_dpmpp_sde(**kwargs):
+    cfg = _sonar_config(kwargs)
+    return sampler_config_override("sonar_dpmpp_sde", sonar_config=cfg, **kwargs)
+
+
+@register_node("SamplerConfigOverride")
+def node_sampler_config_override(*, sampler, **kwargs):
+    return sampler_config_override(sampler, **kwargs)
+
+
+# -- advanced noise types (py/nodes/noise_types.py) -------------------------------
+
+
+@register_node("SonarAdvancedPyramidNoise")
+def adv_pyramid(*, factor=1.0, rescale=0.0, variant="highres_pyramid",
+                sonar_custom_noise_opt=None, **kwargs):
+    cls = {"pyramid": PyramidGenerator, "pyramid_old": PyramidOldGenerator,
+           "highres_pyramid": HighresPyramidGenerator}[variant]
+    return _chain(cls(factor, **kwargs), factor, rescale, sonar_custom_noise_opt)
+
+
+@register_node("SonarAdvanced1fNoise")
+def adv_onef(*, factor=1.0, rescale=0.0, sonar_custom_noise_opt=None, **kwargs):
+    return _chain(OneFGenerator(factor, **kwargs), factor, rescale,
+                  sonar_custom_noise_opt)
+
+
+_DIV_MAX_DIMS_MAP = {
+    "global": None, "all": (-3, -2, -1), "batch": 0, "channel": 1,
+    "height": -2, "width": -1, "height_width": (-2, -1),
+}
+
+
+@register_node("SonarAdvancedPowerLawNoise")
+def adv_powerlaw(*, factor=1.0, rescale=0.0, div_max_dims="global",
+                 sonar_custom_noise_opt=None, **kwargs):
+    dims = _DIV_MAX_DIMS_MAP.get(div_max_dims, div_max_dims)
+    if isinstance(dims, int):
+        dims = (dims,)
+    return _chain(PowerLawGenerator(factor, div_max_dims=dims, **kwargs),
+                  factor, rescale, sonar_custom_noise_opt)
+
+
+@register_node("SonarAdvancedCollatzNoise")
+def adv_collatz(*, factor=1.0, rescale=0.0, sonar_custom_noise_opt=None,
+                seed_custom_noise_opt=None, mix_custom_noise_opt=None, **kwargs):
+    if isinstance(kwargs.get("dims"), str):
+        kwargs["dims"] = tuple(int(v) for v in kwargs["dims"].split(","))
+    if isinstance(kwargs.get("chain_length"), str):
+        kwargs["chain_length"] = tuple(
+            int(v) for v in kwargs["chain_length"].split(","))
+    return _chain(
+        CollatzGenerator(factor, seed_noise_sampler=seed_custom_noise_opt,
+                         mix_noise_sampler=mix_custom_noise_opt, **kwargs),
+        factor, rescale, sonar_custom_noise_opt)
+
+
+_QNORM_MODE_MAP = {
+    "default": dict(), "disabled": dict(quantile_norm=0.0),
+    "global": dict(quantile_norm_dim=None, quantile_norm_flatten=False),
+    "dim0": dict(quantile_norm_dim=0), "dim1": dict(quantile_norm_dim=1),
+    "dim0_nonflat": dict(quantile_norm_dim=0, quantile_norm_flatten=False),
+    "dim1_nonflat": dict(quantile_norm_dim=1, quantile_norm_flatten=False),
+}
+
+
+@register_node("SonarAdvancedDistroNoise")
+def adv_distro(*, factor=1.0, rescale=0.0, distro="normal",
+               quantile_norm_mode="default", sonar_custom_noise_opt=None, **kwargs):
+    kwargs |= _QNORM_MODE_MAP.get(quantile_norm_mode, {})
+    return _chain(DistroGenerator(factor, distro=distro, **kwargs),
+                  factor, rescale, sonar_custom_noise_opt)
+
+
+@register_node("SonarWaveletNoise")
+def wavelet_noise(*, factor=1.0, rescale=0.0, sonar_custom_noise_opt=None,
+                  custom_noise_opt=None, **kwargs):
+    return _chain(WaveletGenerator(factor, noise_sampler=custom_noise_opt, **kwargs),
+                  factor, rescale, sonar_custom_noise_opt)
+
+
+@register_node("SonarAdvancedVoronoiNoise")
+def adv_voronoi(*, factor=1.0, rescale=0.0, sonar_custom_noise_opt=None,
+                custom_noise_opt=None, **kwargs):
+    for key in ("distance_mode", "result_mode"):
+        if isinstance(kwargs.get(key), str):
+            kwargs[key] = (kwargs[key],)
+    if isinstance(kwargs.get("n_points"), (int, float)):
+        kwargs["n_points"] = (int(kwargs["n_points"]),)
+    return _chain(
+        VoronoiGenerator(factor, noise_sampler_factory=custom_noise_opt, **kwargs),
+        factor, rescale, sonar_custom_noise_opt)
+
+
+# -- noise filters (py/nodes/noise_filters.py) ------------------------------------
+
+
+@register_node("SonarModulatedNoise")
+def modulated(*, factor=1.0, sonar_custom_noise, modulation_type="none", dims=3,
+              strength=2.0, normalize_result=None, normalize_noise=None,
+              normalize_ref=True, ref_latent_opt=None):
+    return _chain(
+        ModulatedNoise(factor, noise=sonar_custom_noise.clone(),
+                       modulation_type=modulation_type, modulation_dims=dims,
+                       modulation_strength=strength,
+                       normalize_result=tristate(normalize_result),
+                       normalize_noise=tristate(normalize_noise),
+                       normalize_ref=tristate(normalize_ref),
+                       ref_latent_opt=ref_latent_opt),
+        factor)
+
+
+@register_node("SonarRepeatedNoise")
+def repeated(*, factor=1.0, sonar_custom_noise, repeat_length=8, max_recycle=1000,
+             normalize=None, permute="enabled"):
+    if isinstance(permute, bool):  # old widget form
+        permute = "enabled" if permute else "disabled"
+    return _chain(
+        RepeatedNoise(factor, noise=sonar_custom_noise.clone(),
+                      repeat_length=repeat_length, max_recycle=max_recycle,
+                      normalize=tristate(normalize), permute=permute),
+        factor)
+
+
+@register_node("SonarScheduledNoise")
+def scheduled(*, factor=1.0, model_sampling, sonar_custom_noise, start_percent=0.0,
+              end_percent=1.0, normalize=None, fallback_sonar_custom_noise=None):
+    # percent → sigma via model_sampling (py/nodes/noise_filters.py:188-198)
+    return _chain(
+        ScheduledNoise(
+            factor, noise=sonar_custom_noise.clone(),
+            start_sigma=_percent_to_sigma(model_sampling, start_percent),
+            end_sigma=_percent_to_sigma(model_sampling, end_percent),
+            normalize=tristate(normalize),
+            fallback_noise=None if fallback_sonar_custom_noise is None
+            else fallback_sonar_custom_noise.clone()),
+        factor)
+
+
+@register_node("SonarCompositeNoise")
+def composite(*, factor=1.0, sonar_custom_noise_dst, sonar_custom_noise_src, mask,
+              normalize_src=None, normalize_dst=None, normalize_result=None):
+    # reference quirk: src/dst normalize swap (py/nodes/noise_filters.py:246-247)
+    return _chain(
+        CompositeNoise(factor, dst_noise=sonar_custom_noise_dst.clone(),
+                       src_noise=sonar_custom_noise_src.clone(), mask=mask,
+                       normalize_dst=tristate(normalize_src),
+                       normalize_src=tristate(normalize_dst),
+                       normalize_result=tristate(normalize_result)),
+        factor)
+
+
+@register_node("SonarGuidedNoise")
+def guided(*, factor=1.0, latent, normalize_noise=None, normalize_result=None,
+           normalize_ref=True, method="euler", guidance_factor=0.5,
+           sonar_custom_noise=None):
+    ref = scale_noise(jnp.asarray(latent), normalized=bool(tristate(normalize_ref)
+                                                           in (True, None)))
+    return _chain(
+        GuidedNoise(factor, ref_latent=ref, guidance_factor=guidance_factor,
+                    method=method,
+                    noise=None if sonar_custom_noise is None
+                    else sonar_custom_noise.clone(),
+                    normalize_noise=tristate(normalize_noise),
+                    normalize_result=tristate(normalize_result)),
+        factor)
+
+
+@register_node("SonarRandomNoise")
+def random_noise(*, factor=1.0, sonar_custom_noise, mix_count=1, normalize=None):
+    return _chain(
+        RandomNoise(factor, noise=sonar_custom_noise.clone(), mix_count=mix_count,
+                    normalize=tristate(normalize)),
+        factor)
+
+
+@register_node("SonarChannelNoise")
+def channel(*, factor=1.0, sonar_custom_noise, insufficient_channels_mode="wrap",
+            normalize=None):
+    return _chain(
+        ChannelNoise(factor, noise=sonar_custom_noise.clone(),
+                     insufficient_channels_mode=insufficient_channels_mode,
+                     normalize=tristate(normalize)),
+        factor)
+
+
+@register_node("SonarBlendedNoise")
+def blended(*, factor=1.0, rescale=0.0, sonar_custom_noise_opt=None, normalize=None,
+            noise_2_percent=0.5, custom_noise_1=None, custom_noise_2=None,
+            custom_noise_mask=None, blend_mode="lerp"):
+    if blend_mode not in BLENDING_MODES:
+        raise ValueError("Unknown blend mode")
+    item = BlendedNoise(factor, blend_function=BLENDING_MODES[blend_mode],
+                        normalize=tristate(normalize),
+                        noise_2_percent=noise_2_percent,
+                        custom_noise_1=custom_noise_1,
+                        custom_noise_2=custom_noise_2,
+                        custom_noise_mask=custom_noise_mask)
+    return _chain(item, factor, rescale, sonar_custom_noise_opt)
+
+
+@register_node("SonarResizedNoise")
+def resized(*, factor=1.0, width=1152, height=1152, custom_noise,
+            crop_offset_horizontal=0, crop_offset_vertical=0, crop_mode="center",
+            upscale_mode="bilinear", downscale_mode="bilinear", normalize=None):
+    # fixed absolute mode with 8x spatial compression (noise_filters.py:460-567)
+    return _chain(
+        ResizedNoise(factor, custom_noise=custom_noise.clone(), width=width,
+                     height=height, spatial_mode="absolute", spatial_compression=8,
+                     downscale_strategy="crop", initial_reference="prefer_crop",
+                     crop_offset_horizontal=crop_offset_horizontal,
+                     crop_offset_vertical=crop_offset_vertical,
+                     crop_mode=crop_mode, upscale_mode=upscale_mode,
+                     downscale_mode=downscale_mode, normalize=tristate(normalize)),
+        factor)
+
+
+@register_node("SonarResizedNoiseAdv")
+def resized_adv(*, factor=1.0, custom_noise, normalize=None, **kwargs):
+    return _chain(
+        ResizedNoise(factor, custom_noise=custom_noise.clone(),
+                     normalize=tristate(normalize), **kwargs),
+        factor)
+
+
+_QUANTILE_DIM_MAP = {"global": None, "0": 0, "1": 1, "2": 2, "3": 3, "4": 4}
+
+
+@register_node("SonarQuantileFilteredNoise")
+def quantile_filtered(*, factor=1.0, custom_noise, quantile=0.85, dim="1",
+                      flatten=True, norm_factor=1.0, norm_power=0.5,
+                      strategy="clamp", normalize=None, normalize_noise=False):
+    return _chain(
+        QuantileFilteredNoise(factor, noise=custom_noise.clone(), quantile=quantile,
+                              norm_dim=_QUANTILE_DIM_MAP.get(str(dim), 1),
+                              norm_flatten=flatten, norm_fac=norm_factor,
+                              norm_pow=norm_power, strategy=strategy,
+                              normalize=tristate(normalize),
+                              normalize_noise=bool(tristate(normalize_noise))),
+        factor)
+
+
+@register_node("SonarShuffledNoise")
+def shuffled(*, factor=1.0, custom_noise, dims=(-1,), percentages=(1.0,),
+             fork_rng=True, no_identity=False, normalize=None):
+    if isinstance(dims, str):
+        dims = tuple(int(v) for v in dims.split(","))
+    if isinstance(percentages, str):
+        percentages = tuple(float(v) for v in percentages.split(","))
+    return _chain(
+        ShuffledNoise(factor, noise=custom_noise.clone(), dims=dims,
+                      percentages=percentages, fork_rng=fork_rng,
+                      no_identity=no_identity, normalize=tristate(normalize)),
+        factor)
+
+
+@register_node("SonarPatternBreakNoise")
+def pattern_break_node(*, factor=1.0, custom_noise, blend_mode="lerp",
+                       detail_level=0.0, percentage=1.0, restore_scale=True):
+    return _chain(
+        PatternBreakNoise(factor, noise=custom_noise.clone(), blend_mode=blend_mode,
+                          detail_level=detail_level, percentage=percentage,
+                          restore_scale=restore_scale),
+        factor)
+
+
+@register_node("SonarWaveletFilteredNoise")
+def wavelet_filtered(*, factor=1.0, custom_noise=None, custom_noise_high=None,
+                     normalize=None, normalize_noise=False, yaml_parameters=None,
+                     **kwargs):
+    if yaml_parameters:
+        import yaml
+
+        parsed = yaml.safe_load(yaml_parameters)
+        if parsed:
+            kwargs |= parsed
+    return _chain(
+        WaveletFilteredNoise(
+            factor,
+            noise=None if custom_noise is None else custom_noise.clone(),
+            noise_high=None if custom_noise_high is None
+            else custom_noise_high.clone(),
+            normalize=tristate(normalize),
+            normalize_noise=bool(tristate(normalize_noise)), **kwargs),
+        factor)
+
+
+@register_node("SonarScatternetFilteredNoise")
+def scatternet_filtered(*, factor=1.0, custom_noise=None, normalize=None,
+                        normalize_noise=False, **kwargs):
+    return _chain(
+        ScatternetFilteredNoise(
+            factor,
+            noise=None if custom_noise is None else custom_noise.clone(),
+            normalize=tristate(normalize),
+            normalize_noise=bool(tristate(normalize_noise)), **kwargs),
+        factor)
+
+
+@register_node("SonarRippleFilteredNoise")
+def ripple_filtered(*, factor=1.0, custom_noise, normalize=None,
+                    normalize_noise=False, **kwargs):
+    return _chain(
+        RippleFilteredNoise(factor, noise=custom_noise.clone(),
+                            normalize=tristate(normalize),
+                            normalize_noise=bool(tristate(normalize_noise)),
+                            **kwargs),
+        factor)
+
+
+@register_node("SonarNormalizeNoiseToScale")
+def normalize_to_scale_node(*, factor=1.0, rescale=0.0, custom_noise,
+                            sonar_custom_noise_opt=None, dims="-3, -2, -1",
+                            normalize=None, normalize_noise=False, **kwargs):
+    if isinstance(dims, str):
+        dims = () if not dims.strip() else tuple(int(i) for i in dims.split(","))
+    # reference quirk: the same dims feed std_dims and mean_dims
+    # (py/nodes/noise_filters.py:1267-1275)
+    return _chain(
+        NormalizeToScaleNoise(factor, noise=custom_noise.clone(), dims=dims,
+                              std_dims=dims or None, mean_dims=dims or None,
+                              normalize=tristate(normalize),
+                              normalize_noise=bool(tristate(normalize_noise)),
+                              **kwargs),
+        factor, rescale, sonar_custom_noise_opt)
+
+
+@register_node("SonarPerDimNoise")
+def per_dim(*, factor=1.0, custom_noise, dim=0, offset=0, chunk_size=1,
+            shrink_dim=True, normalize=None, normalize_noise=False):
+    return _chain(
+        PerDimNoise(factor, noise=custom_noise.clone(), dim=dim, offset=offset,
+                    chunk_size=chunk_size, shrink_dim=shrink_dim,
+                    normalize=tristate(normalize),
+                    normalize_noise=bool(tristate(normalize_noise))),
+        factor)
+
+
+@register_node("SonarLatentOperationFilteredNoise")
+def latent_op_filtered(*, factor=1.0, custom_noise, normalize=None,
+                       normalize_noise=False, **ops):
+    operations = tuple(
+        op for k, op in sorted(ops.items()) if k.startswith("operation") and op
+    )
+    return _chain(
+        LatentOperationFilteredNoise(factor, noise=custom_noise.clone(),
+                                     operations=operations,
+                                     normalize=tristate(normalize),
+                                     normalize_noise=bool(tristate(normalize_noise))),
+        factor)
+
+
+@register_node("SonarCustomNoiseParameters")
+def custom_params(*, factor=1.0, custom_noise, normalize=None, **kwargs):
+    dtype_map = {"default": None, "float32": jnp.float32, "float64": jnp.float64,
+                 "float16": jnp.float16, "bfloat16": jnp.bfloat16}
+    if isinstance(kwargs.get("override_dtype"), str):
+        kwargs["override_dtype"] = dtype_map.get(kwargs["override_dtype"])
+    return _chain(
+        CustomNoiseParametersNoise(factor, noise=custom_noise.clone(),
+                                   normalize=tristate(normalize), **kwargs),
+        factor)
+
+
+# -- power noise (py/nodes/powernoise.py) ----------------------------------------
+
+
+@register_node("SonarPowerFilter")
+def power_filter(*, sonar_power_filter_opt=None, compose_mode="max", **kwargs):
+    return PowerFilter(compose_with=sonar_power_filter_opt,
+                       compose_mode=compose_mode, **kwargs)
+
+
+@register_node("SonarPowerNoise")
+def power_noise(*, factor=1.0, rescale=0.0, sonar_custom_noise_opt=None, **kwargs):
+    kwargs.pop("preview", None)
+    return _chain(PowerNoiseItem(factor, **kwargs), factor, rescale,
+                  sonar_custom_noise_opt)
+
+
+@register_node("SonarPowerFilterNoise")
+def power_filter_noise(*, factor=1.0, rescale=0.0, sonar_custom_noise,
+                       sonar_power_filter=None, sonar_custom_noise_opt=None,
+                       normalize_noise=None, normalize_result=None, **kwargs):
+    kwargs.pop("preview", None)
+    return _chain(
+        PowerFilterNoiseItem(factor, noise=sonar_custom_noise.clone(),
+                             power_filter=sonar_power_filter,
+                             normalize_noise=tristate(normalize_noise),
+                             normalize_result=tristate(normalize_result), **kwargs),
+        factor, rescale, sonar_custom_noise_opt)
+
+
+@register_node("SonarPreviewFilter")
+def preview_filter(*, sonar_power_filter, size=(128, 128), **kwargs):
+    from .preview import preview_power_filter
+
+    return preview_power_filter(sonar_power_filter, size=size, **kwargs)
+
+
+# -- latent operations (py/nodes/latent_operations.py) ----------------------------
+
+
+@register_node("SonarLatentOperationQuantileFilter")
+def latent_op_quantile(**kwargs):
+    return SonarLatentOperationQuantileFilter(**kwargs)
+
+
+@register_node("SonarLatentOperationAdvanced")
+def latent_op_advanced(*, operation=None, operation_alt=None, **kwargs):
+    ops = [operation] if operation is not None else []
+    for k in sorted(kwargs):
+        if k.startswith("operation_") and k[10:].isdigit():
+            op = kwargs.pop(k)
+            if op is not None:
+                ops.append(op)
+    return SonarLatentOperationAdvanced(ops=tuple(ops), op_alt=operation_alt,
+                                        **kwargs)
+
+
+@register_node("SonarLatentOperationNoise")
+def latent_op_noise(*, custom_noise, **kwargs):
+    kwargs.pop("cpu_noise", None)
+    kwargs.pop("lazy_noise_sampler", None)
+    return SonarLatentOperationNoise(custom_noise=custom_noise, **kwargs)
+
+
+@register_node("SonarLatentOperationSetSeed")
+def latent_op_set_seed(*, seed=0, restore_rng_state=True, op=None, **kwargs):
+    """Counter-based keys make RNG save/restore a no-op; the seed feeds the
+    wrapped op's stream when it takes one (py/latent_ops.py:189-209)."""
+    del restore_rng_state
+    if isinstance(op, SonarLatentOperationNoise):
+        op.seed = seed
+    return SonarLatentOperation(op=op, **kwargs)
+
+
+@register_node("SonarApplyLatentOperationCFG")
+def apply_latent_op_cfg(*, operation, mode="denoised_sub_uncond", **kwargs):
+    from .guider import make_latent_op_cfg_function
+
+    return make_latent_op_cfg_function(operation=operation, mode=mode, **kwargs)
+
+
+# -- misc (py/nodes/misc.py) -------------------------------------------------------
+
+
+@register_node("NoisyLatentLike")
+def noisy_latent_like_node(*, latent, **kwargs):
+    kwargs.pop("cpu_noise", None)
+    kwargs.pop("custom_noise_opt", None) and None
+    custom = kwargs.pop("custom_noise_opt", None)
+    return noisy_latent_like(jnp.asarray(latent), custom_noise=custom, **kwargs)
+
+
+@register_node("SonarNoiseImage")
+def noise_image_node(*, image, **kwargs):
+    kwargs.pop("cpu_noise", None)
+    kwargs.pop("dtype", None)
+    custom = kwargs.pop("custom_noise_opt", None)
+    return noise_image(jnp.asarray(image), custom_noise=custom, **kwargs)
+
+
+@register_node("SonarToComfyNOISE")
+def to_comfy_noise(*, sonar_custom_noise, **kwargs):
+    """Adapter exposing ComfyUI's NOISE protocol surface
+    (``generate_noise(input_latent)``) — py/nodes/misc.py:360-419."""
+    from .functions import noisy_latent_like as _nll
+
+    class _Noise:
+        def __init__(self, item, seed=0):
+            self.item = item
+            self.seed = seed
+
+        def generate_noise(self, input_latent):
+            samples = jnp.asarray(
+                input_latent["samples"] if isinstance(input_latent, dict)
+                else input_latent)
+            return _nll(samples, custom_noise=self.item, seed=self.seed)
+
+    return _Noise(sonar_custom_noise.clone(), kwargs.get("seed", 0))
+
+
+@register_node("SonarSplitNoiseChain")
+def split_chain(*, sonar_custom_noise, split_at=1, **_kwargs):
+    return split_noise_chain(sonar_custom_noise, split_at)
+
+
+@register_node("SonarWaveletCFG")
+def wavelet_cfg_node(*, yaml_parameters=None, existing_cfg=None, **kwargs):
+    params = dict(kwargs)
+    if yaml_parameters:
+        import yaml
+
+        parsed = yaml.safe_load(yaml_parameters)
+        if parsed:
+            params |= parsed
+    rules = WCFGRules.build(**params)
+    return WaveletCFG(rules=rules, existing_cfg=existing_cfg)
+
+
+# -- FreeU (py/nodes/freeu_extreme.py) ---------------------------------------------
+
+
+@register_node("FreeUExtremeConfig")
+def freeu_config(*, sonar_power_filter_opt=None, frux_config_opt=None, **kwargs):
+    return FreeUExtremeConfig(sonar_power_filter=sonar_power_filter_opt,
+                              frux_config=frux_config_opt, **kwargs)
+
+
+@register_node("FreeUExtreme")
+def freeu_extreme(*, model_sampling, model_channels, input_config=None,
+                  middle_config=None, output_config=None, cpu_fft=False):
+    del cpu_fft  # XLA owns device placement
+    from ..cfg import make_freeu_patches
+
+    return make_freeu_patches(
+        model_sampling=model_sampling, model_channels=model_channels,
+        input_config=input_config, middle_config=middle_config,
+        output_config=output_config)
+
+
+# -- integrations (py/nodes/integrations.py) — external-pack nodes are staged ------
+
+
+def _integration_stub(name, pack):
+    @register_node(name)
+    def stub(**_kwargs):
+        raise NotImplementedError(
+            f"{name} integrates with the external '{pack}' pack, which has no "
+            f"TPU-native equivalent yet (staged; py/nodes/integrations.py)."
+        )
+
+    return stub
+
+
+_integration_stub("SonarBlendFilterNoise", "bleh")
+_integration_stub("SonarBlehOpsNoise", "bleh")
+_integration_stub("KRestartSamplerCustomNoise", "restart_sampling")
+_integration_stub("RestartSamplerCustomNoise", "restart_sampling")

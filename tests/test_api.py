@@ -1,0 +1,188 @@
+"""API-layer tests: node registry coverage vs the reference's 48 node names,
+chain semantics, noisy_latent_like/noise_image behavior, YAML config,
+scatternet, CFG-time latent ops."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import sonar_tpu  # noqa: F401 — full package must import
+from sonar_tpu.api import (
+    NODES,
+    build,
+    make_latent_op_cfg_function,
+    noise_image,
+    noisy_latent_like,
+    preview_power_filter,
+    sampler_config_override,
+    sonar_config_from_yaml,
+    split_noise_chain,
+    wcfg_rules_from_yaml,
+)
+from sonar_tpu.cfg import DiscreteSampling, SonarLatentOperationQuantileFilter
+from sonar_tpu.core.normalize import tstd
+from sonar_tpu.noise import NoiseChain, get_noise_item, make_noise_sampler
+from sonar_tpu.noise.power import PowerFilter
+from sonar_tpu.noise.scatternet import ScatternetFilteredNoise, scat_layer_dwt
+
+# the reference's NODE_CLASS_MAPPINGS names (py/nodes/*, 48 entries)
+REFERENCE_NODES = [
+    "SonarCustomNoise", "SonarCustomNoiseAdv",
+    "SamplerSonarEuler", "SamplerSonarEulerA", "SamplerSonarDPMPPSDE",
+    "SonarGuidanceConfig",
+    "SonarAdvancedPyramidNoise", "SonarAdvanced1fNoise",
+    "SonarAdvancedPowerLawNoise", "SonarAdvancedCollatzNoise",
+    "SonarAdvancedDistroNoise", "SonarWaveletNoise", "SonarAdvancedVoronoiNoise",
+    "SonarModulatedNoise", "SonarRepeatedNoise", "SonarScheduledNoise",
+    "SonarCompositeNoise", "SonarGuidedNoise", "SonarRandomNoise",
+    "SonarChannelNoise", "SonarBlendedNoise", "SonarResizedNoise",
+    "SonarResizedNoiseAdv", "SonarQuantileFilteredNoise", "SonarShuffledNoise",
+    "SonarPatternBreakNoise", "SonarWaveletFilteredNoise",
+    "SonarScatternetFilteredNoise", "SonarRippleFilteredNoise",
+    "SonarNormalizeNoiseToScale", "SonarPerDimNoise",
+    "SonarLatentOperationFilteredNoise", "SonarCustomNoiseParameters",
+    "SonarPowerNoise", "SonarPowerFilterNoise", "SonarPowerFilter",
+    "SonarPreviewFilter",
+    "NoisyLatentLike", "SonarNoiseImage", "SonarToComfyNOISE",
+    "SamplerConfigOverride", "SonarSplitNoiseChain", "SonarWaveletCFG",
+    "SonarApplyLatentOperationCFG",
+    "SonarLatentOperationQuantileFilter", "SonarLatentOperationAdvanced",
+    "SonarLatentOperationNoise", "SonarLatentOperationSetSeed",
+    "FreeUExtremeConfig", "FreeUExtreme",
+    "SonarBlendFilterNoise", "SonarBlehOpsNoise",
+    "KRestartSamplerCustomNoise", "RestartSamplerCustomNoise",
+]
+
+
+def test_node_registry_covers_reference():
+    missing = [n for n in REFERENCE_NODES if n not in NODES]
+    assert not missing, f"missing node builders: {missing}"
+
+
+def test_chain_semantics():
+    # clone upstream, append unless factor == 0, rescale (py/nodes/base.py:225-239)
+    c1 = build("SonarCustomNoise", factor=1.0, noise_type="gaussian")
+    c2 = build("SonarCustomNoise", factor=2.0, noise_type="uniform",
+               sonar_custom_noise_opt=c1)
+    assert isinstance(c2, NoiseChain) and len(c2.items) == 2
+    assert len(c1.items) == 1  # upstream untouched
+    c3 = build("SonarCustomNoise", factor=0.0, noise_type="uniform",
+               sonar_custom_noise_opt=c1)
+    assert len(c3.items) == 1
+    c4 = build("SonarCustomNoise", factor=3.0, noise_type="uniform", rescale=1.0,
+               sonar_custom_noise_opt=c1)
+    assert c4.chain_factor == pytest.approx(1.0)
+
+
+def test_node_built_tree_samples():
+    ms = DiscreteSampling()
+    gauss = build("SonarCustomNoise", factor=1.0, noise_type="gaussian")
+    sched = build("SonarScheduledNoise", factor=1.0, model_sampling=ms,
+                  sonar_custom_noise=gauss, start_percent=0.0, end_percent=0.8,
+                  normalize="default", fallback_sonar_custom_noise=gauss)
+    fn, st = make_noise_sampler(sched, (1, 4, 8, 8), seed=0)
+    noise, _ = fn(st, jnp.asarray(5.0), jnp.asarray(4.0))
+    assert np.isfinite(np.asarray(noise)).all()
+
+
+def test_sampler_nodes_build_callables():
+    s = build("SamplerSonarEulerA", momentum=0.9, momentum_hist=0.7, eta=0.8)
+    assert callable(s)
+    s2 = build("SamplerConfigOverride", sampler="sonar_dpmpp_sde", s_noise=0.9)
+    assert callable(s2)
+
+
+def test_noisy_latent_like_strength_math():
+    latent = jnp.zeros((1, 4, 8, 8))
+    ms = DiscreteSampling()
+    sigmas = jnp.asarray([float(ms.sigma_max), 5.0, 1.0, 0.0])
+    out = noisy_latent_like(latent, seed=0, mul_by_sigmas=sigmas,
+                            model_sampling=ms)
+    # max_denoise: std ≈ sqrt(1 + sigma_max^2)
+    expect = float(jnp.sqrt(1.0 + ms.sigma_max**2))
+    assert float(tstd(out)) == pytest.approx(expect, rel=0.05)
+    out2 = noisy_latent_like(latent, seed=0, repeat_batch=3)
+    assert out2.shape == (3, 4, 8, 8)
+    with pytest.raises(ValueError, match="model_sampling"):
+        noisy_latent_like(latent, mul_by_sigmas=sigmas)
+
+
+def test_noise_image_modes():
+    img = jnp.full((1, 16, 16, 3), 0.5)
+    out = noise_image(img, seed=0, noise_multiplier=0.3)
+    assert out.shape == img.shape
+    assert float(out.min()) >= 0.0 and float(out.max()) <= 1.0
+    grey = noise_image(img, seed=0, greyscale_mode=True, pure_noise_mode=True,
+                       overflow_mode="rescale")
+    g = np.asarray(grey)
+    assert np.allclose(g[..., 0], g[..., 1])
+
+
+def test_split_noise_chain():
+    chain = NoiseChain([get_noise_item("gaussian", factor=1.0),
+                        get_noise_item("uniform", factor=3.0)])
+    a, b = split_noise_chain(chain, 1)
+    assert len(a.items) == 1 and len(b.items) == 1
+    assert a.chain_factor == pytest.approx(1.0)
+    assert b.chain_factor == pytest.approx(1.0)  # rescaled
+
+
+def test_yaml_config_surfaces():
+    cfg = sonar_config_from_yaml("momentum: 0.5\nmomentum_mode: classic\n")
+    assert cfg.momentum == 0.5
+    assert cfg.momentum_mode.value == "classic"
+    rules = wcfg_rules_from_yaml(
+        "wave: haar\nlevel: 2\nrules:\n  - start_sigma: 3.0\n    wave: db2\n")
+    assert len(rules) == 2
+    assert rules[1].wavelet.wave == "db2"
+
+
+def test_scatternet_layer_and_noise():
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((1, 4, 16, 16)),
+                    jnp.float32)
+    out = scat_layer_dwt(x)
+    assert out.shape[1] == 16  # 4C
+    assert out.shape[-1] in (9, 10)  # ~H/2 (+ filter padding)
+    for omode in ("channels_adjusted", "channels", "flat_adjusted"):
+        item = ScatternetFilteredNoise(output_mode=omode, scatternet_order=1)
+        fn, st = make_noise_sampler(item, (1, 4, 16, 16), seed=0)
+        noise, _ = fn(st, None, None)
+        assert noise.shape == (1, 4, 16, 16), omode
+        assert np.isfinite(np.asarray(noise)).all(), omode
+
+
+def test_latent_op_cfg_function_post_cfg():
+    ms = DiscreteSampling()
+    patch, hook = make_latent_op_cfg_function(
+        operation=SonarLatentOperationQuantileFilter(quantile=0.95),
+        mode="denoised_sub_uncond", blend_strength=1.0,
+        blend_scale_mode="none", model_sampling=ms)
+    assert hook == "post_cfg"
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((1, 4, 8, 8)), jnp.float32) * 5
+    den = jnp.asarray(rng.standard_normal((1, 4, 8, 8)), jnp.float32)
+    und = jnp.asarray(rng.standard_normal((1, 4, 8, 8)), jnp.float32)
+    out = patch(dict(input=x, sigma=jnp.asarray([5.0]), denoised=den,
+                     uncond_denoised=und))
+    assert out.shape == x.shape
+    assert np.isfinite(np.asarray(out)).all()
+    # pred_flip round trip with identity op ≈ identity
+    patch2, _ = make_latent_op_cfg_function(
+        operation=lambda latent, **kw: latent, mode="denoised",
+        pred_flip_mode=True, blend_strength=1.0, blend_scale_mode="none",
+        model_sampling=ms)
+    out2 = patch2(dict(input=x, sigma=jnp.asarray([5.0]), denoised=den,
+                       uncond_denoised=und))
+    assert float(jnp.abs(out2 - den).max()) < 1e-4
+
+
+def test_preview_power_filter():
+    img = preview_power_filter(PowerFilter(alpha=0.5, min_freq=0.1), size=(32, 32))
+    assert img.shape == (32, 64)
+    assert img.dtype == np.uint8
+
+
+def test_integration_stubs_raise():
+    with pytest.raises(NotImplementedError, match="bleh"):
+        build("SonarBlendFilterNoise")
