@@ -164,6 +164,23 @@ def sample_sonar_euler(
                      callback=callback, method=method)
 
 
+def _fused_eligible(cfg: SonarConfig) -> bool:
+    """The Pallas fast path covers the default config family: NEW mode,
+    lerp blends, ZERO init, no guidance, static momentum != 1."""
+    from .momentum import HistoryType, MomentumMode
+
+    return (
+        cfg.momentum_mode == MomentumMode.NEW
+        and cfg.init == HistoryType.ZERO
+        and cfg.guidance is None
+        and (cfg.momentum_blend_mode or cfg.blend_mode) == "lerp"
+        and (cfg.history_blend_mode or cfg.blend_mode) == "lerp"
+        and isinstance(cfg.momentum, (int, float))
+        and cfg.momentum != 1
+        and cfg.momentum_hist != 1
+    )
+
+
 def sample_sonar_euler_ancestral(
     model: Callable,
     x: jax.Array,
@@ -179,8 +196,14 @@ def sample_sonar_euler_ancestral(
     extra_args: dict | None = None,
     callback=None,
     method: str = "scan",
+    use_fused: bool | None = None,
 ) -> jax.Array:
-    """Ancestral momentum Euler (py/sonar.py:529-623)."""
+    """Ancestral momentum Euler (py/sonar.py:529-623).
+
+    ``use_fused`` routes the momentum chain + noise injection through the
+    single-pass Pallas kernel (SURVEY §2.9 items 1-2) when the config
+    qualifies; ``None`` auto-enables on TPU.
+    """
     cfg = (sonar_config or SonarConfig()).updated(sonar_params)
     sigmas = jnp.asarray(sigmas)
     model_fn, noise_fn, noise_state, rand_init, ref_latent = _setup(
@@ -188,17 +211,39 @@ def sample_sonar_euler_ancestral(
         noise_item=noise_item, noise_sampler=noise_sampler, seed=seed,
         extra_args=extra_args, need_noise=True,
     )
+    from ..kernels.fused import (
+        fused_momentum_step,
+        pack_momentum_scalars,
+        use_pallas,
+    )
+    from .momentum import check_step
+
+    fused = (use_pallas() if use_fused is None else use_fused) and _fused_eligible(cfg)
 
     def step_fn(carry, i):
         xc, mom, nstate = carry
         sigma, sigma_next = sigmas[i], sigmas[i + 1]
         sigma_down, sigma_up = get_ancestral_step(sigma, sigma_next, eta=eta)
         denoised = model_fn(xc, sigma)
+        noise, nstate = noise_fn(nstate, i, sigma, sigma_next)
+        if fused:
+            hd_ratio, hd_scale, md_scale = cfg.history_ratios
+            scal = pack_momentum_scalars(
+                sigma=sigma, dt=sigma_down - sigma, momentum=cfg.momentum,
+                hd_ratio=hd_ratio, hd_scale=hd_scale, md_scale=md_scale,
+                has=mom["has"].astype(jnp.float32),
+                noise_scale=jnp.where(sigma_next > 0, s_noise * sigma_up, 0.0),
+                in_window=check_step(cfg, i).astype(jnp.float32),
+                hist_window=check_step(cfg, i, is_history=True).astype(jnp.float32),
+            )
+            out, new_hd = fused_momentum_step(xc, denoised, mom["hd"], noise, scal)
+            mom = {"hd": new_hd, "has": mom["has"] | check_step(cfg, i, is_history=True)}
+            return (out, mom, nstate), {"x": out, "sigma": sigma,
+                                        "sigma_hat": sigma, "denoised": denoised}
         out, mom = momentum_step(
             cfg, mom, xc, denoised, sigma, sigma_down, step=i, rand_init=rand_init
         )
         guided = guidance_step(cfg, i, out, denoised, sigma, sigma_next, ref_latent)
-        noise, nstate = noise_fn(nstate, i, sigma, sigma_next)
         noisy = guided + noise * (s_noise * sigma_up)
         out = jnp.where(sigma_next > 0, noisy, out)
         return (out, mom, nstate), {"x": out, "sigma": sigma, "sigma_hat": sigma,
