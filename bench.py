@@ -103,9 +103,33 @@ def bench_torch_cpu_anchor(shape=(1, 4, 128, 128), iters=10) -> float:
     return b * c * h * w / dt / 1e6
 
 
+def bench_power_noise_mpix(shape=(1, 4, 128, 128), iters=50) -> float:
+    from sonar_tpu.noise.base import make_noise_sampler
+    from sonar_tpu.noise.power import PowerNoiseItem
+
+    item = PowerNoiseItem(alpha=0.5, min_freq=0.05)
+    fn, state0 = make_noise_sampler(item, shape, seed=4, sigma_min=0.03,
+                                    sigma_max=14.6)
+
+    @jax.jit
+    def draw_many(state):
+        def body(st, _):
+            noise, st = fn(st, jnp.asarray(1.0), jnp.asarray(0.9))
+            return st, jnp.sum(noise)
+
+        return jax.lax.scan(body, state, None, length=iters)[1]
+
+    dt = _timeit(draw_many, state0, warmup=1, iters=3)
+    npix = 1
+    for d in shape:
+        npix *= d
+    return npix * iters / dt / 1e6
+
+
 def main():
     steps_per_sec = bench_sampler_steps_per_sec()
     mpix = bench_noise_mpix_per_sec()
+    power_mpix = bench_power_noise_mpix()
     anchor = bench_torch_cpu_anchor()
     print(
         json.dumps(
@@ -115,8 +139,11 @@ def main():
                 "unit": "steps/s",
                 "vs_baseline": round(mpix / anchor, 3),
                 "extra": {
+                    "per_step_ms_p50": round(1000.0 / steps_per_sec, 3),
                     "noise_pyramid_mpix_per_sec": round(mpix, 3),
+                    "noise_power_mpix_per_sec": round(power_mpix, 3),
                     "torch_cpu_anchor_mpix_per_sec": round(anchor, 3),
+                    "vs_baseline_is": "pyramid-noise Mpix/s vs torch-CPU anchor",
                     "backend": jax.default_backend(),
                 },
             }

@@ -188,9 +188,12 @@ def _register_builtin_samplers():
         sample_sonar_euler_ancestral,
     )
 
+    from ..samplers.restart import sample_restart
+
     register_sampler("sonar_euler", sample_sonar_euler)
     register_sampler("sonar_euler_ancestral", sample_sonar_euler_ancestral)
     register_sampler("sonar_dpmpp_sde", sample_sonar_dpmpp_sde)
+    register_sampler("restart", sample_restart)
 
 
 _register_builtin_samplers()

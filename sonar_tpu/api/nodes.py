@@ -714,21 +714,63 @@ def freeu_extreme(*, model_sampling, model_channels, input_config=None,
         output_config=output_config)
 
 
-# -- integrations (py/nodes/integrations.py) — external-pack nodes are staged ------
+# -- integrations (py/nodes/integrations.py) ---------------------------------------
+# BlendFilterNoise + the restart samplers are implemented natively (the
+# reference gates them on the external bleh / restart_sampling packs);
+# BlehOpsNoise (a rule-program interpreter) is staged.
 
 
-def _integration_stub(name, pack):
-    @register_node(name)
-    def stub(**_kwargs):
-        raise NotImplementedError(
-            f"{name} integrates with the external '{pack}' pack, which has no "
-            f"TPU-native equivalent yet (staged; py/nodes/integrations.py)."
-        )
+@register_node("SonarBlendFilterNoise")
+def blend_filter_noise(*, factor=1.0, sonar_custom_noise, blend_mode="simple_add",
+                       ffilter=None, ffilter_scale=1.0, ffilter_strength=0.5,
+                       ffilter_threshold=1, enhance_mode="none",
+                       enhance_strength=0.25, affect="result",
+                       normalize_noise=None, normalize_result=None):
+    from ..noise.blendfilter import BlendFilterNoise
 
-    return stub
+    return _chain(
+        BlendFilterNoise(factor, noise=sonar_custom_noise.clone(),
+                         blend_mode=blend_mode, ffilter=ffilter,
+                         ffilter_scale=ffilter_scale,
+                         ffilter_strength=ffilter_strength,
+                         ffilter_threshold=ffilter_threshold,
+                         enhance_mode=enhance_mode,
+                         enhance_strength=enhance_strength, affect=affect,
+                         normalize_noise=tristate(normalize_noise),
+                         normalize_result=tristate(normalize_result)),
+        factor)
 
 
-_integration_stub("SonarBlendFilterNoise", "bleh")
-_integration_stub("SonarBlehOpsNoise", "bleh")
-_integration_stub("KRestartSamplerCustomNoise", "restart_sampling")
-_integration_stub("RestartSamplerCustomNoise", "restart_sampling")
+def _restart_builder(**kwargs):
+    from functools import partial
+
+    from ..samplers.restart import sample_restart
+
+    custom_noise = kwargs.pop("custom_noise", None) or kwargs.pop(
+        "sonar_custom_noise", None)
+    inner = kwargs.pop("sampler", None)
+    if isinstance(inner, str):
+        from .functions import get_sampler
+
+        inner = get_sampler(inner)
+    return partial(sample_restart, custom_noise=custom_noise,
+                   inner_sampler=inner, **kwargs)
+
+
+@register_node("KRestartSamplerCustomNoise")
+def krestart_sampler(**kwargs):
+    return _restart_builder(**kwargs)
+
+
+@register_node("RestartSamplerCustomNoise")
+def restart_sampler(**kwargs):
+    return _restart_builder(**kwargs)
+
+
+@register_node("SonarBlehOpsNoise")
+def bleh_ops_noise(**_kwargs):
+    raise NotImplementedError(
+        "SonarBlehOpsNoise runs bleh block-ops rule programs; the rule-program "
+        "interpreter has no TPU-native equivalent yet (staged; "
+        "py/noise.py:2190-2241)."
+    )

@@ -4,6 +4,7 @@ from .base import (
     NoiseSamplerHandle,
     make_noise_sampler,
 )
+from .blendfilter import BlendFilterNoise, enhance_tensor, ffilter
 from .chain import NoiseChain
 from .combinators import (
     BlendedNoise,
@@ -31,6 +32,7 @@ from .presets import NOISE_TYPES, get_noise_item, noise_type_names
 __all__ = [
     "GENERATOR_CLASSES",
     "NOISE_TYPES",
+    "BlendFilterNoise",
     "BlendedNoise",
     "ChannelNoise",
     "CompositeNoise",

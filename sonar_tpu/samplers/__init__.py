@@ -1,5 +1,6 @@
 from .ancestral import get_ancestral_step, to_d
 from .momentum import GuidanceConfig, HistoryType, MomentumMode, SonarConfig
+from .restart import RestartSegment, default_segments, sample_restart
 from .sonar import (
     sample_sonar_dpmpp_sde,
     sample_sonar_euler,
@@ -10,6 +11,7 @@ SAMPLERS = {
     "sonar_euler": sample_sonar_euler,
     "sonar_euler_ancestral": sample_sonar_euler_ancestral,
     "sonar_dpmpp_sde": sample_sonar_dpmpp_sde,
+    "restart": sample_restart,
 }
 
 __all__ = [
@@ -18,7 +20,10 @@ __all__ = [
     "HistoryType",
     "MomentumMode",
     "SonarConfig",
+    "RestartSegment",
+    "default_segments",
     "get_ancestral_step",
+    "sample_restart",
     "sample_sonar_dpmpp_sde",
     "sample_sonar_euler",
     "sample_sonar_euler_ancestral",

@@ -1,0 +1,138 @@
+"""Restart sampling with custom noise (native implementation of the
+capability the reference gets from the external ``restart_sampling`` pack —
+py/nodes/integrations.py:184-288: KRestartSamplerCustomNoise /
+RestartSamplerCustomNoise only exist to let that pack draw its restart
+noise from a Sonar custom-noise chain).
+
+Algorithm (Xu et al. 2023, "Restart Sampling for Improving Generative
+Processes"): sample down the base schedule; at configured segments
+``[t_min, t_max]``, repeat K times: jump back up by adding fresh noise
+``x += noise · sqrt(t_max² − t_min²)`` and re-sample the segment with an
+n-step schedule. The restart noise comes from any :class:`NoiseItem` tree —
+the whole thing (base run + restart loops) compiles into nested scans.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.rng import derive_key, key_from_seed
+from ..noise.base import NoiseItem, make_noise_sampler
+from .sonar import sample_sonar_euler, sample_sonar_euler_ancestral
+
+
+@dataclasses.dataclass(frozen=True)
+class RestartSegment:
+    """One restart window: K jumps from t_min back to t_max, each re-sampled
+    with an n-step Karras sub-schedule."""
+
+    t_min: float
+    t_max: float
+    n: int = 4
+    k: int = 2
+
+
+def karras_sigmas(n: int, sigma_min: float, sigma_max: float,
+                  rho: float = 7.0) -> np.ndarray:
+    ramp = np.linspace(0, 1, n)
+    s = (sigma_max ** (1 / rho) + ramp * (sigma_min ** (1 / rho)
+                                          - sigma_max ** (1 / rho))) ** rho
+    return s.astype(np.float32)
+
+
+def default_segments(sigmas, *, n_restarts: int = 1, segment_steps: int = 4,
+                     k_repeats: int = 2) -> tuple[RestartSegment, ...]:
+    """Place restarts at the geometric midpoints of the schedule."""
+    s = np.asarray(sigmas, np.float64)
+    s = s[s > 0]
+    out = []
+    for i in range(n_restarts):
+        frac = (i + 1) / (n_restarts + 1)
+        t_min = float(np.exp(np.log(s[-1]) + frac * (np.log(s[0]) - np.log(s[-1]))))
+        t_max = min(float(s[0]), t_min * 3.0)
+        out.append(RestartSegment(t_min=t_min, t_max=t_max, n=segment_steps,
+                                  k=k_repeats))
+    return tuple(out)
+
+
+def sample_restart(
+    model: Callable,
+    x: jax.Array,
+    sigmas,
+    *,
+    segments: Sequence[RestartSegment] | None = None,
+    inner_sampler: Callable | None = None,
+    custom_noise: NoiseItem | None = None,
+    s_noise: float = 1.0,
+    seed: int | None = None,
+    **sampler_kwargs,
+) -> jax.Array:
+    """Run ``inner_sampler`` (default sonar_euler) over ``sigmas`` with
+    restart segments whose jump noise comes from ``custom_noise``."""
+    sigmas = np.asarray(sigmas, np.float32)
+    inner = inner_sampler if inner_sampler is not None else sample_sonar_euler
+    if segments is None:
+        segments = default_segments(sigmas)
+    segments = sorted(segments, key=lambda sg: -sg.t_max)
+    key = key_from_seed(seed)
+
+    pos = sigmas[sigmas > 0]
+    sigma_min_all = float(pos.min()) if pos.size else 0.0
+    sigma_max_all = float(sigmas.max())
+    noise_fn = noise_state = None
+    if custom_noise is not None:
+        noise_fn, noise_state = make_noise_sampler(
+            custom_noise, x.shape, dtype=x.dtype,
+            sigma_min=sigma_min_all, sigma_max=sigma_max_all,
+            seed=derive_key(key, "restart"), normalized=True)
+
+    def draw(state, t0, t1, idx):
+        if noise_fn is None:
+            return (
+                jax.random.normal(
+                    jax.random.fold_in(derive_key(key, "gauss"), idx),
+                    x.shape, x.dtype),
+                state,
+            )
+        return noise_fn(state, jnp.asarray(t0), jnp.asarray(t1))
+
+    # split the base schedule at segment boundaries
+    cur = x
+    draw_idx = 0
+    # base pass over the full schedule, interrupted at each segment t_min
+    boundaries = [sg.t_min for sg in segments]
+    sched = list(np.concatenate([sigmas]))
+    start = 0
+    for sg in segments:
+        # find index where sigma crosses below t_min
+        idxs = [i for i, s in enumerate(sched) if s <= sg.t_min and i > start]
+        if not idxs:
+            continue
+        stop = idxs[0]
+        seg_sched = np.asarray(sched[start : stop + 1], np.float32)
+        if seg_sched.shape[0] >= 2:
+            cur = inner(model, cur, jnp.asarray(seg_sched), seed=seed,
+                        **sampler_kwargs)
+        t_min = float(sched[stop])
+        t_max = min(sg.t_max, sigma_max_all)
+        jump_std = math.sqrt(max(t_max**2 - t_min**2, 0.0))
+        restart_sched = np.concatenate([
+            karras_sigmas(sg.n, max(t_min, 1e-4), t_max), [t_min]
+        ]).astype(np.float32)
+        for _rep in range(sg.k):
+            noise, noise_state = draw(noise_state, t_min, t_max, draw_idx)
+            draw_idx += 1
+            cur = cur + noise * (s_noise * jump_std)
+            cur = inner(model, cur, jnp.asarray(restart_sched), seed=seed,
+                        **sampler_kwargs)
+        start = stop
+    tail = np.asarray(sched[start:], np.float32)
+    if tail.shape[0] >= 2:
+        cur = inner(model, cur, jnp.asarray(tail), seed=seed, **sampler_kwargs)
+    return cur

@@ -107,14 +107,22 @@ def _setup(
 
 
 def _run_loop(step_fn, x, n_steps: int, mom_state, noise_state, *, callback=None,
-              method: str = "scan"):
-    carry = (x, mom_state, noise_state)
+              method: str = "scan", resume_from=None, start_step: int = 0,
+              stop_step: int | None = None, return_state: bool = False):
+    """Run steps [start_step, stop_step). Checkpoint/resume (SURVEY
+    §5.3-5.4): the entire sampler state is the scan carry ``(x,
+    momentum_state, noise_state)`` — run with ``stop_step=k,
+    return_state=True`` to checkpoint, then ``resume_from=carry,
+    start_step=k`` to continue; trajectories are bitwise identical to an
+    uninterrupted run."""
+    stop = n_steps if stop_step is None else min(stop_step, n_steps)
+    carry = resume_from if resume_from is not None else (x, mom_state, noise_state)
     if callback is not None or method == "python":
-        for i in range(n_steps):
+        for i in range(start_step, stop):
             carry, info = step_fn(carry, jnp.asarray(i))
             if callback is not None:
                 callback({"i": i, **info})
-        return carry[0]
+        return (carry[0], carry) if return_state else carry[0]
     if method != "scan":
         raise ValueError("method must be 'scan' or 'python'")
 
@@ -122,8 +130,8 @@ def _run_loop(step_fn, x, n_steps: int, mom_state, noise_state, *, callback=None
         c, _info = step_fn(c, i)
         return c, None
 
-    carry, _ = jax.lax.scan(body, carry, jnp.arange(n_steps))
-    return carry[0]
+    carry, _ = jax.lax.scan(body, carry, jnp.arange(start_step, stop))
+    return (carry[0], carry) if return_state else carry[0]
 
 
 def sample_sonar_euler(
@@ -138,6 +146,10 @@ def sample_sonar_euler(
     extra_args: dict | None = None,
     callback=None,
     method: str = "scan",
+    resume_from=None,
+    start_step: int = 0,
+    stop_step: int | None = None,
+    return_state: bool = False,
 ) -> jax.Array:
     """Deterministic momentum Euler (py/sonar.py:452-526)."""
     cfg = (sonar_config or SonarConfig()).updated(sonar_params)
@@ -161,7 +173,9 @@ def sample_sonar_euler(
                                     "denoised": denoised}
 
     return _run_loop(step_fn, x, sigmas.shape[0] - 1, init_momentum_state(x), (),
-                     callback=callback, method=method)
+                     callback=callback, method=method, resume_from=resume_from,
+                     start_step=start_step, stop_step=stop_step,
+                     return_state=return_state)
 
 
 def _fused_eligible(cfg: SonarConfig) -> bool:
@@ -197,6 +211,10 @@ def sample_sonar_euler_ancestral(
     callback=None,
     method: str = "scan",
     use_fused: bool | None = None,
+    resume_from=None,
+    start_step: int = 0,
+    stop_step: int | None = None,
+    return_state: bool = False,
 ) -> jax.Array:
     """Ancestral momentum Euler (py/sonar.py:529-623).
 
@@ -250,7 +268,9 @@ def sample_sonar_euler_ancestral(
                                     "denoised": denoised}
 
     return _run_loop(step_fn, x, sigmas.shape[0] - 1, init_momentum_state(x),
-                     noise_state, callback=callback, method=method)
+                     noise_state, callback=callback, method=method,
+                     resume_from=resume_from, start_step=start_step,
+                     stop_step=stop_step, return_state=return_state)
 
 
 def sample_sonar_dpmpp_sde(
@@ -268,6 +288,10 @@ def sample_sonar_dpmpp_sde(
     extra_args: dict | None = None,
     callback=None,
     method: str = "scan",
+    resume_from=None,
+    start_step: int = 0,
+    stop_step: int | None = None,
+    return_state: bool = False,
 ) -> jax.Array:
     """Two-stage DPM++ SDE with momentum injected twice per step
     (py/sonar.py:626-820). Default noise: brownian (py/sonar.py:627).
@@ -349,4 +373,6 @@ def sample_sonar_dpmpp_sde(
                                     "denoised": denoised}
 
     return _run_loop(step_fn, x, sigmas.shape[0] - 1, init_momentum_state(x),
-                     noise_state, callback=callback, method=method)
+                     noise_state, callback=callback, method=method,
+                     resume_from=resume_from, start_step=start_step,
+                     stop_step=stop_step, return_state=return_state)

@@ -183,6 +183,46 @@ def test_preview_power_filter():
     assert img.dtype == np.uint8
 
 
+def test_blend_filter_noise_native():
+    chain = NoiseChain([get_noise_item("gaussian"), get_noise_item("uniform", factor=0.5)])
+    item = build("SonarBlendFilterNoise", factor=1.0, sonar_custom_noise=chain,
+                 ffilter="highpass", ffilter_strength=0.8, enhance_mode="sharpen",
+                 enhance_strength=0.3, affect="both")
+    fn, st = make_noise_sampler(item, (1, 4, 16, 16), seed=0)
+    noise, _ = fn(st, jnp.asarray(1.0), jnp.asarray(0.9))
+    assert np.isfinite(np.asarray(noise)).all()
+    # highpass boosts high-frequency energy share vs unfiltered
+    plain_item = build("SonarBlendFilterNoise", factor=1.0,
+                       sonar_custom_noise=chain, affect="result")
+    fnp, stp = make_noise_sampler(plain_item, (1, 4, 16, 16), seed=0)
+    plain, _ = fnp(stp, jnp.asarray(1.0), jnp.asarray(0.9))
+
+    def hf_share(t):
+        spec = jnp.abs(jnp.fft.rfft2(t))
+        return float(spec[..., 6:, 6:].sum() / spec.sum())
+
+    assert hf_share(noise) > hf_share(plain)
+
+
+def test_restart_sampler_native():
+    from sonar_tpu.samplers.restart import RestartSegment, sample_restart
+
+    def model(x, sigma, **kw):
+        return x * 0.9
+
+    x0 = jnp.asarray(np.random.default_rng(0).standard_normal((1, 4, 8, 8)),
+                     jnp.float32) * 14.6
+    sigmas = np.linspace(14.6, 0.03, 8).tolist() + [0.0]
+    out = sample_restart(model, x0, sigmas,
+                         segments=(RestartSegment(t_min=2.0, t_max=6.0, n=3, k=2),),
+                         custom_noise=get_noise_item("gaussian"), seed=4)
+    assert out.shape == x0.shape
+    assert np.isfinite(np.asarray(out)).all()
+    # node-level builders return callables
+    s = build("RestartSamplerCustomNoise", custom_noise=get_noise_item("gaussian"))
+    assert callable(s)
+
+
 def test_integration_stubs_raise():
     with pytest.raises(NotImplementedError, match="bleh"):
-        build("SonarBlendFilterNoise")
+        build("SonarBlehOpsNoise")
