@@ -768,9 +768,13 @@ def restart_sampler(**kwargs):
 
 
 @register_node("SonarBlehOpsNoise")
-def bleh_ops_noise(**_kwargs):
-    raise NotImplementedError(
-        "SonarBlehOpsNoise runs bleh block-ops rule programs; the rule-program "
-        "interpreter has no TPU-native equivalent yet (staged; "
-        "py/noise.py:2190-2241)."
-    )
+def bleh_ops_noise(*, factor=1.0, sonar_custom_noise, rules="", normalize=None,
+                   reference=None):
+    """Native ops rule engine replaces the bleh block-ops interpreter — see
+    sonar_tpu.noise.ops_engine for the documented rule schema."""
+    from ..noise.ops_engine import BlehOpsNoise
+
+    return _chain(
+        BlehOpsNoise(factor, noise=sonar_custom_noise.clone(), rules=rules,
+                     normalize=tristate(normalize), reference=reference),
+        factor)

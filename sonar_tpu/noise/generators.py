@@ -463,6 +463,29 @@ class PinkOldGenerator(Generator):
         return jax.random.normal(key, ctx.shape, ctx.dtype) * spectral_density, state
 
 
+class PowerOldGenerator(Generator):
+    """Admittedly-wrong historical power noise (py/noise_generation.py:
+    1259-1287): uniform noise scaled by a per-first-dim spectral density
+    k/i^alpha, then standardized per (H, W)."""
+
+    name = "power_old"
+    DEFAULT_NORMALIZED = False
+
+    @classmethod
+    def ng_params(cls):
+        return super().ng_params() | {"alpha": 2.0, "k": 1.0}
+
+    def generate(self, ctx, state, key, sigma, sigma_next):
+        b = ctx.shape[0]
+        freq = jnp.arange(1, b + 1, dtype=ctx.dtype).reshape(
+            (b,) + (1,) * (len(ctx.shape) - 1))
+        spectral_density = self.k / freq**self.alpha
+        noise = jax.random.uniform(key, ctx.shape, ctx.dtype) * spectral_density
+        mean = jnp.mean(noise, axis=(-2, -1), keepdims=True)
+        std = tstd(noise, axis=(-2, -1), keepdims=True)
+        return (noise - mean) / jnp.where(std == 0, 1.0, std), state
+
+
 class OneFGenerator(Generator):
     """1/f^alpha spectrum shaping over a full fftn (py/noise_generation.py:720-759)."""
 
@@ -604,6 +627,7 @@ GENERATOR_CLASSES: dict[str, type[Generator]] = {
         StudentTGenerator,
         GreenTestGenerator,
         PinkOldGenerator,
+        PowerOldGenerator,
         OneFGenerator,
         PowerLawGenerator,
         LaplacianGenerator,

@@ -22,6 +22,7 @@ from .generators import (
     OneFGenerator,
     PerlinOldGenerator,
     PinkOldGenerator,
+    PowerOldGenerator,
     PowerLawGenerator,
     PyramidGenerator,
     PyramidOldGenerator,
@@ -66,6 +67,7 @@ register_noise_type("brownian", _simple(BrownianGenerator))
 register_noise_type("perlin", _simple(PerlinOldGenerator))
 register_noise_type("studentt", _simple(StudentTGenerator))
 register_noise_type("pink_old", _simple(PinkOldGenerator))
+register_noise_type("power_old", _simple(PowerOldGenerator))
 register_noise_type("laplacian", _simple(LaplacianGenerator))
 register_noise_type("green_test", _simple(GreenTestGenerator))
 register_noise_type("pyramid_old", _simple(PyramidOldGenerator))

@@ -223,6 +223,27 @@ def test_restart_sampler_native():
     assert callable(s)
 
 
-def test_integration_stubs_raise():
-    with pytest.raises(NotImplementedError, match="bleh"):
-        build("SonarBlehOpsNoise")
+def test_bleh_ops_rule_engine():
+    chain = NoiseChain([get_noise_item("gaussian")])
+    rules = """
+- when: {sigma_min: 0.5}
+  ops:
+    - [multiply, 2.0]
+    - [ffilter, {filter: lowpass, strength: 0.5}]
+    - [enhance, {mode: contrast, scale: 0.2}]
+    - [normalize, {factor: 1.0}]
+- when: {sigma_max: 0.4}
+  ops:
+    - [neg]
+"""
+    item = build("SonarBlehOpsNoise", factor=1.0, sonar_custom_noise=chain,
+                 rules=rules, normalize="forced")
+    fn, st = make_noise_sampler(item, (1, 4, 16, 16), seed=0)
+    hi, st = fn(st, jnp.asarray(2.0), jnp.asarray(1.5))
+    lo, st = fn(st, jnp.asarray(0.2), jnp.asarray(0.1))
+    assert np.isfinite(np.asarray(hi)).all()
+    assert np.isfinite(np.asarray(lo)).all()
+    # bad op name raises at build time
+    with pytest.raises(ValueError, match="Unknown op"):
+        build("SonarBlehOpsNoise", factor=1.0, sonar_custom_noise=chain,
+              rules="- ops: [[nosuch, 1]]")
