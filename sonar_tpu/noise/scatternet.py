@@ -5,13 +5,18 @@ py/noise_generation.py:2035-2193 + ScatternetFilteredNoise, py/noise.py:
 The reference uses pytorch_wavelets' ScatLayer/ScatLayerj2: one DTCWT level
 whose 6 oriented complex highpasses become smooth magnitudes
 (``sqrt(x² + b²) − b``), stacked with the lowpass → channels ×7, spatial ÷2
-per order. DTCWT's qshift filter tables are staged (SURVEY §7.2), so the
-native scatter layer here uses the real DWT: lowpass + 3 oriented
-magnitudes → channels ×4, spatial ÷2 per order. The orchestration
-(output_mode channels/flat ×(adjusted/scaled), ``output_offset`` channel
-windowing, per-channel mode, spatial compensation 2^order) matches the
-reference exactly; only the per-layer channel multiplier differs (4 vs 7),
-which the window arithmetic is already generic over.
+per order. Both backends are available here:
+
+- ``wavelet_backend="dtcwt"`` — the native dual-tree transform
+  (sonar_tpu.wavelets.dtcwt): lowpass + 6 oriented magnitudes, ×7
+  channels/order — full ScatLayer semantics;
+- ``wavelet_backend="dwt"`` (default) — a cheaper real-DWT scatter layer:
+  lowpass + 3 oriented magnitudes, ×4 channels/order.
+
+The orchestration (output_mode channels/flat ×(adjusted/scaled),
+``output_offset`` channel windowing, per-channel mode, spatial compensation
+2^order) matches the reference exactly; the window arithmetic is generic
+over the per-layer channel multiplier.
 """
 
 from __future__ import annotations
@@ -43,11 +48,30 @@ def scat_layer_dwt(x: jax.Array, *, wave: str = "db2", mode: str = "symmetric",
     return stacked.reshape(b, c * 4, *stacked.shape[-2:])
 
 
+def scat_layer_dtcwt(x: jax.Array, *, magbias: float = 1e-2) -> jax.Array:
+    """One dual-tree scattering layer: (B, C, H, W) → (B, 7C, H/2, W/2) —
+    the pytorch_wavelets ScatLayer semantics: averaged lowpass + the 6
+    oriented complex magnitudes ``sqrt(re²+im²+b²) − b``."""
+    from ..wavelets.dtcwt import dtcwt2d
+
+    yls, yhs = dtcwt2d(x, level=1)
+    yl = sum(yls) / 4.0
+    z = yhs[0]  # (B, C, 6, H', W') complex
+    mags = jnp.sqrt(jnp.real(z) ** 2 + jnp.imag(z) ** 2 + magbias**2) - magbias
+    b, c = x.shape[:2]
+    hh, ww = yl.shape[-2], yl.shape[-1]
+    mh, mw = mags.shape[-2], mags.shape[-1]
+    th, tw = min(hh, mh), min(ww, mw)
+    stacked = jnp.concatenate(
+        [yl[:, :, None, :th, :tw], mags[..., :th, :tw]], axis=2)
+    return stacked.reshape(b, c * 7, th, tw)
+
+
 class ScatternetFilteredGenerator(Generator):
     name = "scatternetfilter"
     MIN_DIMS = 4
     MAX_DIMS = 4
-    CHANNEL_MULT = 4  # DWT scatter layer (DTCWT's is 7)
+    CHANNEL_MULT = 4  # per-layer channel multiplier: DWT=4, DTCWT=7
 
     @classmethod
     def ng_params(cls):
@@ -58,6 +82,7 @@ class ScatternetFilteredGenerator(Generator):
             "biort": "near_sym_a",
             "qshift": "qshift_a",
             "wave": "db2",
+            "wavelet_backend": "dwt",
             "output_offset": 0.0,
             "scatternet_order": 1,
             "per_channel_scatternet": False,
@@ -93,8 +118,11 @@ class ScatternetFilteredGenerator(Generator):
 
     def _scatter(self, x):
         for _ in range(max(1, abs(self.scatternet_order))):
-            x = scat_layer_dwt(x, wave=self.wave, mode=self.mode,
-                               magbias=self.magbias)
+            if self.wavelet_backend == "dtcwt":
+                x = scat_layer_dtcwt(x, magbias=self.magbias)
+            else:
+                x = scat_layer_dwt(x, wave=self.wave, mode=self.mode,
+                                   magbias=self.magbias)
         return x
 
     def generate(self, ctx, state, key, sigma, sigma_next):

@@ -39,26 +39,30 @@ class Wavelet:
         inv_qshift: str | None = None,
         device=None,
     ):
-        if use_dtcwt:
-            raise NotImplementedError(
-                "DTCWT is not implemented yet in sonar_tpu (staged feature; "
-                "py/wavelet_functions.py:57-75 parity pending)"
-            )
         del device, biort, qshift, inv_biort, inv_qshift
         self.wave = wave
         self.level = level
         self.mode = mode
         self.use_1d_dwt = use_1d_dwt
+        self.use_dtcwt = use_dtcwt
         self.inv_wave = fallback(inv_wave, wave)
         self.inv_mode = fallback(inv_mode, mode)
-        get_wavelet(self.wave)  # validate eagerly
-        get_wavelet(self.inv_wave)
+        if not use_dtcwt:
+            get_wavelet(self.wave)  # validate eagerly
+            get_wavelet(self.inv_wave)
         self._fwd_shape = None
 
     def forward(self, t: jax.Array, *, forward_function: Callable | None = None):
         if forward_function is not None:
             return forward_function(t)
         self._fwd_shape = t.shape
+        if self.use_dtcwt:
+            from .dtcwt import dtcwt2d
+
+            yls, yhs = dtcwt2d(t, self.level)
+            # yl carried as the 4 tree lowpasses stacked on a leading axis so
+            # the (yl, yh) pyramid protocol (scaling/blend) applies unchanged
+            return jnp.stack(yls, axis=0), yhs
         if self.use_1d_dwt:
             return dwt1d(t, self.wave, self.level, self.mode)
         return dwt2d(t, self.wave, self.level, self.mode)
@@ -75,6 +79,13 @@ class Wavelet:
         out_shape = fallback(out_shape, self._fwd_shape)
         if inverse_function is not None:
             inv = inverse_function
+        elif self.use_dtcwt:
+            from .dtcwt import idtcwt2d
+
+            inv = lambda pair: idtcwt2d(  # noqa: E731
+                tuple(pair[0][i] for i in range(4)), pair[1],
+                out_hw=None if out_shape is None else out_shape[-2:],
+            )
         elif self.use_1d_dwt:
             inv = lambda pair: idwt1d(  # noqa: E731
                 pair[0], pair[1], self.inv_wave, self.inv_mode,

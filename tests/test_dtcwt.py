@@ -1,0 +1,126 @@
+"""DTCWT tests: q-shift design quality, perfect reconstruction, analyticity
+(orientation discrimination + spectrum one-sidedness), facade + scatternet
+integration."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from sonar_tpu.noise import make_noise_sampler
+from sonar_tpu.noise.scatternet import ScatternetFilteredNoise, scat_layer_dtcwt
+from sonar_tpu.wavelets import Wavelet
+from sonar_tpu.wavelets.dtcwt import (
+    _level1_banks,
+    dtcwt2d,
+    idtcwt2d,
+    qshift_banks,
+    qshift_filter,
+)
+
+
+def test_qshift_filter_design():
+    h = qshift_filter(10)
+    hn = h / np.linalg.norm(h)
+    # double-shift orthonormality (PR by lattice construction)
+    for k in range(1, 5):
+        assert abs(np.dot(hn[2 * k :], hn[: len(hn) - 2 * k])) < 1e-8
+    # quarter-sample group delay in the passband
+    n = np.arange(len(h))
+    for w in (0.3, 0.8):
+        E = np.exp(-1j * w * n)
+        H = (E * h).sum()
+        d = np.real(((E * n * h).sum()) / H)
+        assert abs(d - 4.25) < 0.15, (w, d)
+
+
+def test_dtcwt_perfect_reconstruction():
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((1, 2, 32, 32)),
+                    jnp.float32)
+    yls, yhs = dtcwt2d(x, level=3)
+    assert len(yls) == 4
+    assert [z.shape[2] for z in yhs] == [6, 6, 6]
+    assert all(jnp.iscomplexobj(z) for z in yhs)
+    rec = idtcwt2d(yls, yhs, out_hw=(32, 32))
+    assert float(jnp.abs(rec - x).max()) < 1e-4
+
+
+def test_dtcwt_orientation_discrimination():
+    """±45° gratings must separate perfectly between the two orientation
+    groups — the signature of analyticity."""
+    yy, xx = np.meshgrid(np.arange(64), np.arange(64), indexing="ij")
+    gp = jnp.asarray(np.sin(2 * np.pi * (xx + yy) / 8), jnp.float32)[None, None]
+    gm = jnp.asarray(np.sin(2 * np.pi * (xx - yy) / 8), jnp.float32)[None, None]
+    _, yhp = dtcwt2d(gp, 2)
+    _, yhm = dtcwt2d(gm, 2)
+    ep = np.asarray(jnp.sum(jnp.abs(yhp[1]) ** 2, axis=(0, 1, 3, 4)))
+    em = np.asarray(jnp.sum(jnp.abs(yhm[1]) ** 2, axis=(0, 1, 3, 4)))
+    # +45° lives in the first 3 orientations, −45° in the last 3
+    assert ep[:3].sum() / ep.sum() > 0.95
+    assert em[3:].sum() / em.sum() > 0.95
+
+
+def test_dtcwt_cascade_one_sidedness():
+    """Level-2/3 equivalent complex wavelets must be ≥90% one-sided."""
+    import numpy.fft as fft
+
+    qa, qb = qshift_banks()
+    l1, _ = _level1_banks()
+
+    def eff(bank):
+        return bank.dec_lo[::-1], bank.dec_hi[::-1]
+
+    def up(f, k):
+        out = np.zeros(len(f) * k - (k - 1))
+        out[::k] = f
+        return out
+
+    lo1, _ = eff(l1)
+    loa, hia = eff(qa)
+    lob, hib = eff(qb)
+    pa = np.concatenate([[0], np.convolve(lo1, up(hia, 2))])
+    pb = np.convolve(lo1, up(hib, 2))
+    L = max(len(pa), len(pb)) + 8
+    pa = np.pad(pa, (0, L - len(pa)))
+    pb = np.pad(pb, (0, L - len(pb)))
+    S = np.abs(fft.fft(pa + 1j * pb, 8192)) ** 2
+    assert max(S[:4096].sum(), S[4096:].sum()) / S.sum() > 0.90
+
+
+def test_dtcwt_shift_invariance_beats_dwt():
+    from sonar_tpu.wavelets import dwt2d
+
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((1, 1, 64, 64)),
+                    jnp.float32)
+    xs = jnp.roll(x, 1, axis=-1)
+    _, yh = dtcwt2d(x, 2)
+    _, yhs = dtcwt2d(xs, 2)
+    m, ms = jnp.abs(yh[1]), jnp.abs(yhs[1])
+    dt = float(jnp.linalg.norm(m - ms) / jnp.linalg.norm(m))
+    _, wh = dwt2d(x, "db4", 2, "periodization")
+    _, whs = dwt2d(xs, "db4", 2, "periodization")
+    wm, wms = jnp.abs(wh[1]), jnp.abs(whs[1])
+    dw = float(jnp.linalg.norm(wm - wms) / jnp.linalg.norm(wm))
+    assert dt < 0.6 * dw  # magnitudes far more stable than real DWT
+
+
+def test_wavelet_facade_dtcwt():
+    x = jnp.asarray(np.random.default_rng(1).standard_normal((1, 4, 32, 32)),
+                    jnp.float32)
+    w = Wavelet(use_dtcwt=True, level=2)
+    yl, yh = w.forward(x)
+    assert yl.shape[0] == 4  # stacked tree lowpasses
+    rec = w.inverse(yl, yh)
+    assert float(jnp.abs(rec - x).max()) < 1e-4
+
+
+def test_scatternet_dtcwt_backend():
+    x = jnp.asarray(np.random.default_rng(2).standard_normal((1, 4, 16, 16)),
+                    jnp.float32)
+    out = scat_layer_dtcwt(x)
+    assert out.shape[1] == 28  # 7C
+    item = ScatternetFilteredNoise(output_mode="channels_adjusted",
+                                   scatternet_order=1, wavelet_backend="dtcwt")
+    fn, st = make_noise_sampler(item, (1, 4, 16, 16), seed=0)
+    noise, _ = fn(st, None, None)
+    assert noise.shape == (1, 4, 16, 16)
+    assert np.isfinite(np.asarray(noise)).all()

@@ -95,9 +95,9 @@ def test_wavelet_1d_mode_for_3d_latents():
     assert float(jnp.abs(rec - x).max()) < 1e-4
 
 
-def test_dtcwt_staged():
-    with pytest.raises(NotImplementedError):
-        Wavelet(use_dtcwt=True)
+def test_dtcwt_facade_constructs():
+    w = Wavelet(use_dtcwt=True, level=2)
+    assert w.use_dtcwt  # full coverage in test_dtcwt.py
 
 
 def test_expand_yh_scales():
