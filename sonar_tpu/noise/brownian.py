@@ -63,14 +63,29 @@ def brownian_increment(
     t_hi: float,
     levels: int = 16,
     dtype=jnp.float32,
+    w0: jax.Array | None = None,
 ) -> jax.Array:
-    """(W(t1) - W(t0)) / sqrt(|t1 - t0|) on the interval [t_lo, t_hi]."""
+    """(W(t1) - W(t0)) / sqrt(|t1 - t0|) on the interval [t_lo, t_hi].
+
+    Pass a precomputed ``w0 = W(u0)`` to skip one full evaluation (the
+    stateful generator carries the previous endpoint across steps)."""
     span = t_hi - t_lo
     u0 = (t0 - t_lo) / span
     u1 = (t1 - t_lo) / span
-    w0 = brownian_w(key, u0, shape, levels=levels, dtype=dtype)
+    if w0 is None:
+        w0 = brownian_w(key, u0, shape, levels=levels, dtype=dtype)
     w1 = brownian_w(key, u1, shape, levels=levels, dtype=dtype)
     # sqrt(span) converts unit-interval W to [t_lo, t_hi] scale.
     denom = jnp.sqrt(jnp.abs(t1 - t0))
     denom = jnp.where(denom == 0, 1.0, denom)
-    return (w1 - w0) * (jnp.sqrt(jnp.asarray(span, jnp.float32)) / denom).astype(dtype)
+    inc = (w1 - w0) * (
+        jnp.sqrt(jnp.asarray(span, jnp.float32)) / denom
+    ).astype(dtype)
+    return inc, w1
+
+
+def brownian_w_at(key, t, shape, *, t_lo, t_hi, levels=16, dtype=jnp.float32):
+    """W at a sigma point (for seeding the endpoint cache)."""
+    span = t_hi - t_lo
+    return brownian_w(key, (jnp.asarray(t) - t_lo) / span, shape,
+                      levels=levels, dtype=dtype)

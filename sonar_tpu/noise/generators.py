@@ -30,7 +30,7 @@ from ..core.blend import BLENDING_MODES
 from ..core.normalize import scale_noise, tquantile, tstd
 from ..ops.resample import scale_samples
 from .base import NoiseCtx, NoiseItem, fix_output_frames
-from .brownian import brownian_increment
+from .brownian import brownian_increment, brownian_w
 
 
 class Generator(NoiseItem):
@@ -154,20 +154,32 @@ class BrownianGenerator(Generator):
     def init_state(self, ctx, key):
         if ctx.sigma_min is None or ctx.sigma_max is None:
             raise ValueError("Brownian noise requires sigma_min and sigma_max")
-        return {"base": key}
+        # endpoint cache: consecutive sampler steps share W(sigma_next_i) ==
+        # W(sigma_{i+1}) — carrying it halves the per-step bridge cost
+        return {
+            "base": key,
+            "u_last": jnp.full((), -1e9, jnp.float32),
+            "w_last": jnp.zeros(ctx.shape, ctx.dtype),
+        }
 
     def generate(self, ctx, state, key, sigma, sigma_next):
         del key  # path identity comes from the init-time key
-        noise = brownian_increment(
-            state["base"],
-            sigma,
-            sigma_next,
-            ctx.shape,
-            t_lo=ctx.sigma_min,
-            t_hi=ctx.sigma_max,
-            levels=self.levels,
-            dtype=ctx.dtype,
+        span = ctx.sigma_max - ctx.sigma_min
+        u0 = ((jnp.asarray(sigma, jnp.float32) - ctx.sigma_min) / span)
+        hit = jnp.abs(u0 - state["u_last"]) < 1e-6
+        w0 = jax.lax.cond(
+            hit,
+            lambda: state["w_last"],
+            lambda: brownian_w(state["base"], u0, tuple(ctx.shape),
+                               levels=self.levels, dtype=ctx.dtype),
         )
+        noise, w1 = brownian_increment(
+            state["base"], sigma, sigma_next, ctx.shape,
+            t_lo=ctx.sigma_min, t_hi=ctx.sigma_max,
+            levels=self.levels, dtype=ctx.dtype, w0=w0,
+        )
+        u1 = ((jnp.asarray(sigma_next, jnp.float32) - ctx.sigma_min) / span)
+        state = {**state, "u_last": jnp.clip(u1, 0.0, 1.0), "w_last": w1}
         return noise, state
 
 

@@ -29,7 +29,7 @@ import numpy as np
 
 from ..core.normalize import scale_noise
 from .base import NoiseCtx, NoiseItem
-from .brownian import brownian_increment
+from .brownian import brownian_increment, brownian_w
 
 
 def _bilinear_resize_ac(arr: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
@@ -236,7 +236,11 @@ class PowerNoiseItem(NoiseItem):
                 raise ValueError(
                     "time correlated brownian mode is valid only for stochastic samplers"
                 )
-            return {"base": key}
+            return {
+                "base": key,
+                "u_last": jnp.full((), -1e9, jnp.float32),
+                "w_last": jnp.zeros(tuple(ctx.shape), ctx.dtype),
+            }
         return {}
 
     def _filtered(self, ctx, noise_or_rfft, filter_rfft, *, is_spatial: bool):
@@ -255,9 +259,20 @@ class PowerNoiseItem(NoiseItem):
         h, w = ctx.height, ctx.width
         hbins = w // 2 + 1
         if self.time_brownian:
-            noise = brownian_increment(
+            span = ctx.sigma_max - ctx.sigma_min
+            u0 = (jnp.asarray(sigma, jnp.float32) - ctx.sigma_min) / span
+            hit = jnp.abs(u0 - state["u_last"]) < 1e-6
+            w0 = jax.lax.cond(
+                hit,
+                lambda: state["w_last"],
+                lambda: brownian_w(state["base"], u0, tuple(ctx.shape),
+                                   dtype=ctx.dtype),
+            )
+            noise, w1 = brownian_increment(
                 state["base"], sigma, sigma_next, ctx.shape,
-                t_lo=ctx.sigma_min, t_hi=ctx.sigma_max, dtype=ctx.dtype)
+                t_lo=ctx.sigma_min, t_hi=ctx.sigma_max, dtype=ctx.dtype, w0=w0)
+            u1 = (jnp.asarray(sigma_next, jnp.float32) - ctx.sigma_min) / span
+            state = {**state, "u_last": jnp.clip(u1, 0.0, 1.0), "w_last": w1}
             out = self._filtered(ctx, noise, filter_rfft, is_spatial=True)
         else:
             kr, ki = jax.random.split(key)

@@ -145,3 +145,25 @@ def test_scan_compatible():
 def test_unknown_noise_type():
     with pytest.raises(ValueError, match="Unknown noise type"):
         get_noise_item("not_a_noise")
+
+
+def test_brownian_endpoint_cache_chain_consistency():
+    """Increments over consecutive steps chain to the direct endpoint
+    difference — the endpoint cache (state w_last) must not break W's
+    functional consistency."""
+    from sonar_tpu.noise import get_noise_item, make_noise_sampler
+    from sonar_tpu.noise.brownian import brownian_w
+
+    fn, st = make_noise_sampler(get_noise_item("brownian"), (1, 4, 16, 16),
+                                seed=0, sigma_min=0.1, sigma_max=10.0)
+    sig = [10.0, 7.0, 4.0, 1.0, 0.1]
+    tot = 0.0
+    for a, b in zip(sig[:-1], sig[1:]):
+        inc, st = fn(st, jnp.asarray(a), jnp.asarray(b))
+        tot = tot + inc * np.sqrt(abs(b - a))
+    key = st["node"]["base"]
+    span = 10.0 - 0.1
+    w_hi = brownian_w(key, jnp.asarray(1.0), (1, 4, 16, 16))
+    w_lo = brownian_w(key, jnp.asarray(0.0), (1, 4, 16, 16))
+    direct = (w_lo - w_hi) * np.sqrt(span)
+    assert float(jnp.abs(tot - direct).max()) < 1e-4
