@@ -59,12 +59,15 @@ def bench_noise_mpix_per_sec(shape=(1, 4, 128, 128), iters=50) -> float:
 
     @jax.jit
     def draw_many(state):
+        # stack every draw as scan output: forces each noise tensor to be
+        # fully materialized (a sum-only consumer lets XLA fuse generation
+        # into the reduction and never write the pixels)
         def body(st, _):
             noise, st = fn(st, jnp.asarray(1.0), jnp.asarray(0.9))
-            return st, jnp.sum(noise)
+            return st, noise
 
-        st, sums = jax.lax.scan(body, state, None, length=iters)
-        return sums
+        st, stacked = jax.lax.scan(body, state, None, length=iters)
+        return stacked
 
     dt = _timeit(draw_many, state0, warmup=1, iters=3)
     npix = 1
@@ -115,7 +118,7 @@ def bench_power_noise_mpix(shape=(1, 4, 128, 128), iters=50) -> float:
     def draw_many(state):
         def body(st, _):
             noise, st = fn(st, jnp.asarray(1.0), jnp.asarray(0.9))
-            return st, jnp.sum(noise)
+            return st, noise
 
         return jax.lax.scan(body, state, None, length=iters)[1]
 
@@ -126,11 +129,44 @@ def bench_power_noise_mpix(shape=(1, 4, 128, 128), iters=50) -> float:
     return npix * iters / dt / 1e6
 
 
+_SINGLE = {
+    "sampler": bench_sampler_steps_per_sec,
+    "noise": bench_noise_mpix_per_sec,
+    "power": bench_power_noise_mpix,
+    "anchor": bench_torch_cpu_anchor,
+}
+
+
+def _run_isolated(name: str) -> float:
+    """Run one benchmark in a fresh subprocess.
+
+    Sharing one process between large compiled programs degrades subsequent
+    executions ~200x through this environment's TPU tunnel (measured both
+    orderings); per-metric processes give honest numbers. Falls back to
+    in-process on any subprocess failure."""
+    import subprocess
+    import sys
+
+    try:
+        out = subprocess.run(
+            [sys.executable, __file__, "--single", name],
+            capture_output=True, text=True, timeout=560, check=True,
+        )
+        return float(out.stdout.strip().splitlines()[-1])
+    except Exception:
+        return _SINGLE[name]()
+
+
 def main():
-    steps_per_sec = bench_sampler_steps_per_sec()
-    mpix = bench_noise_mpix_per_sec()
-    power_mpix = bench_power_noise_mpix()
-    anchor = bench_torch_cpu_anchor()
+    import sys
+
+    if len(sys.argv) >= 3 and sys.argv[1] == "--single":
+        print(_SINGLE[sys.argv[2]]())
+        return
+    steps_per_sec = _run_isolated("sampler")
+    mpix = _run_isolated("noise")
+    power_mpix = _run_isolated("power")
+    anchor = _run_isolated("anchor")
     print(
         json.dumps(
             {
