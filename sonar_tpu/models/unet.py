@@ -182,11 +182,13 @@ def _group_norm(p, x, groups):
     g = min(groups, c)
     while c % g:
         g -= 1
-    xg = x.reshape(b, h, w, g, c // g)
+    # stats in f32 for bf16 activations (MXU runs the convs in bf16; norms
+    # need the extra mantissa)
+    xg = x.reshape(b, h, w, g, c // g).astype(jnp.float32)
     mean = jnp.mean(xg, axis=(1, 2, 4), keepdims=True)
     var = jnp.var(xg, axis=(1, 2, 4), keepdims=True)
     xg = (xg - mean) * jax.lax.rsqrt(var + 1e-5)
-    x = xg.reshape(b, h, w, c)
+    x = xg.reshape(b, h, w, c).astype(x.dtype)
     return x * p["scale"].astype(x.dtype) + p["bias"].astype(x.dtype)
 
 
@@ -209,8 +211,8 @@ def _attention(p, x, num_heads, groups):
     q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
     # (B, N, H, D) → scaled dot-product over N; heads dim is the TP axis.
     scale = 1.0 / math.sqrt(c // num_heads)
-    logits = jnp.einsum("bnhd,bmhd->bhnm", q, k) * scale
-    attn = jax.nn.softmax(logits, axis=-1)
+    logits = jnp.einsum("bnhd,bmhd->bhnm", q, k).astype(jnp.float32) * scale
+    attn = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
     out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(b, h * w, c)
     return x + _dense(p["proj"], out).reshape(b, h, w, c)
 
@@ -248,14 +250,14 @@ def unet_apply(
     the hook surface FreeU-Extreme installs into
     (py/nodes/freeu_extreme.py:317-326).
     """
-    dt = x.dtype
+    dt = cfg.dtype  # compute dtype (bf16 halves HBM traffic, doubles MXU)
     g = cfg.norm_groups
     ctx = {"sigma": sigma, "cfg": cfg}
     emb = _dense(
         params["time_mlp"]["fc2"],
         _silu(_dense(params["time_mlp"]["fc1"], _sigma_embedding(sigma, cfg.model_channels, dt))),
     )
-    h = jnp.transpose(x, (0, 2, 3, 1))  # NCHW → NHWC
+    h = jnp.transpose(x, (0, 2, 3, 1)).astype(dt)  # NCHW → NHWC
     h = _conv(params["conv_in"], h)
     skips = [h]
     for level, entry in enumerate(params["down"]):
@@ -285,7 +287,7 @@ def unet_apply(
             h = jax.image.resize(h, (b, hh * 2, ww * 2, c), method="nearest")
             h = _conv(entry["upsample"], h)
     h = _conv(params["conv_out"], _silu(_group_norm(params["norm_out"], h, g)))
-    return jnp.transpose(h, (0, 3, 1, 2))  # NHWC → NCHW
+    return jnp.transpose(h, (0, 3, 1, 2)).astype(x.dtype)  # NHWC → NCHW
 
 
 def make_denoiser(
