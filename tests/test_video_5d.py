@@ -1,0 +1,77 @@
+"""BASELINE config 5: 16-frame 5D video latents with temporally correlated
+noise (SURVEY §5.7). The reference's idiom: 2D-spatial generators fold
+frames into channels; temporal correlation comes from PerDimNoise chunking
+over the frame axis with stateful generators (Voronoi z-walk, Brownian) —
+docs/advanced_noise_nodes.md:504-507."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sonar_tpu.noise import PerDimNoise, get_noise_item, make_noise_sampler
+from sonar_tpu.noise.voronoi import VoronoiGenerator
+
+SHAPE_5D = (1, 4, 16, 32, 32)  # (B, C, F, H, W)
+
+
+def test_spatial_generators_fold_frames():
+    for name in ("pyramid", "perlin", "onef_pinkish", "green_test", "wavelet"):
+        fn, st = make_noise_sampler(get_noise_item(name), SHAPE_5D, seed=0)
+        noise, _ = fn(st, None, None)
+        assert noise.shape == SHAPE_5D, name
+        assert np.isfinite(np.asarray(noise)).all(), name
+
+
+def test_voronoi_z_walk_per_frame_correlation():
+    """PerDimNoise over the frame axis with a z-walking Voronoi: adjacent
+    frames must be far more similar than distant ones (temporal
+    correlation), yet not identical (the walk advances)."""
+    from sonar_tpu.noise import CustomNoiseParametersNoise
+
+    inner = VoronoiGenerator(n_points=(16,), z_increment=0.35, z_range=10.0,
+                             result_mode=("f1",))
+    # voronoi is 4D-spatial; fold the (length-1) frame chunk into channels
+    # (the reference recipe: frames_to_channels + per-dim chunking)
+    item = PerDimNoise(
+        noise=CustomNoiseParametersNoise(noise=inner, frames_to_channels=True,
+                                         normalize=False),
+        dim=2, chunk_size=1, normalize=False)
+    fn, st = make_noise_sampler(item, (1, 2, 8, 24, 24), seed=1)
+    noise, _ = fn(st, None, None)
+    frames = np.asarray(noise)[0, 0]  # (F, H, W)
+
+    def corr(a, b):
+        a, b = a.ravel() - a.mean(), b.ravel() - b.mean()
+        return float((a @ b) / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-9))
+
+    adjacent = np.mean([corr(frames[i], frames[i + 1]) for i in range(7)])
+    distant = corr(frames[0], frames[7])
+    assert adjacent > 0.5, adjacent  # strong frame-to-frame continuity
+    assert adjacent > distant + 0.05  # correlation decays with distance
+    assert not np.allclose(frames[0], frames[1])  # but the walk advances
+
+
+def test_brownian_sigma_correlated_5d():
+    fn, st = make_noise_sampler(get_noise_item("brownian"), SHAPE_5D, seed=2,
+                                sigma_min=0.1, sigma_max=10.0)
+    a, st = fn(st, jnp.asarray(10.0), jnp.asarray(9.9))
+    b, st = fn(st, jnp.asarray(9.9), jnp.asarray(9.8))
+    assert a.shape == SHAPE_5D
+    assert np.isfinite(np.asarray(a)).all() and np.isfinite(np.asarray(b)).all()
+
+
+def test_5d_sampling_end_to_end():
+    def model(x, sigma, **kw):
+        return x * 0.9
+
+    from sonar_tpu.samplers import sample_sonar_euler_ancestral
+
+    x0 = jnp.asarray(np.random.default_rng(0).standard_normal((1, 4, 4, 16, 16)),
+                     jnp.float32) * 14.6
+    sigmas = jnp.asarray([14.6, 5.0, 1.0, 0.0], jnp.float32)
+    out = jax.jit(
+        lambda v: sample_sonar_euler_ancestral(
+            model, v, sigmas, noise_item=get_noise_item("pyramid"), seed=3)
+    )(x0)
+    assert out.shape == x0.shape
+    assert np.isfinite(np.asarray(out)).all()
