@@ -1,0 +1,118 @@
+"""SonarPipeline — the everything-wired convenience surface.
+
+The reference's user surface is a ComfyUI graph: KSampler + custom-noise
+chain + WaveletCFG model patch + FreeU patches. This class is that graph as
+one object: give it cond/uncond denoiser callables (or let it build the
+bundled UNet), a sampler name, a noise tree, and optional WCFG rules /
+FreeU configs / CFG-time latent ops — call it with (x0, sigmas) and the
+whole run compiles into one XLA program.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..cfg import DiscreteSampling, WaveletCFG, basic_cfg
+from ..noise.base import NoiseItem
+from ..samplers.momentum import SonarConfig
+from .functions import get_sampler
+from .guider import make_latent_op_cfg_function
+
+
+class SonarPipeline:
+    def __init__(
+        self,
+        *,
+        model: Callable | None = None,
+        model_uncond: Callable | None = None,
+        sampler: str | Callable = "sonar_euler_ancestral",
+        sonar_config: SonarConfig | None = None,
+        noise: NoiseItem | None = None,
+        cfg_scale: float = 7.5,
+        wavelet_cfg: WaveletCFG | None = None,
+        latent_op_cfg: tuple | None = None,  # (patch_fn, hook) from api.guider
+        model_sampling=None,
+        eta: float | None = None,
+        s_noise: float | None = None,
+        seed: int | None = None,
+    ):
+        """``model(x, sigma_batch) -> denoised`` is the cond denoiser;
+        ``model_uncond`` enables CFG (basic or wavelet). Without it the
+        pipeline samples unguided, exactly the reference's KSampler path."""
+        self.model = model
+        self.model_uncond = model_uncond
+        self.sampler = get_sampler(sampler) if isinstance(sampler, str) else sampler
+        self.sonar_config = sonar_config
+        self.noise = noise
+        self.cfg_scale = cfg_scale
+        self.wavelet_cfg = wavelet_cfg
+        self.latent_op_cfg = latent_op_cfg
+        self.model_sampling = model_sampling or DiscreteSampling()
+        self.eta = eta
+        self.s_noise = s_noise
+        self.seed = seed
+
+    # -- guided denoiser assembly (replaces ComfyUI's CFGGuider) ---------------
+    def _denoiser(self, sample_sigmas) -> Callable:
+        model = self.model
+        if model is None:
+            raise ValueError("SonarPipeline requires a model callable")
+        if self.model_uncond is None:
+            return model
+
+        uncond = self.model_uncond
+        cfg_fn = self.wavelet_cfg if self.wavelet_cfg is not None else basic_cfg
+        lo_patch, lo_hook = self.latent_op_cfg or (None, None)
+        ms = self.model_sampling
+
+        def guided(x, sigma_batch, **kw):
+            if lo_hook == "model_input":
+                x = lo_patch(dict(input=x, sigma=sigma_batch,
+                                  model_sampling=ms))
+            cond_d = model(x, sigma_batch, **kw)
+            uncond_d = uncond(x, sigma_batch, **kw)
+            if lo_hook == "pre_cfg":
+                conds = lo_patch(dict(input=x, sigma=sigma_batch,
+                                      conds_out=[cond_d, uncond_d],
+                                      model_sampling=ms))
+                cond_d, uncond_d = conds[0], conds[1]
+            args = dict(
+                input=x, sigma=sigma_batch,
+                cond=x - cond_d, uncond=x - uncond_d,
+                cond_denoised=cond_d, uncond_denoised=uncond_d,
+                cond_scale=self.cfg_scale, model_sampling=ms,
+                sample_sigmas=sample_sigmas,
+            )
+            out = x - cfg_fn(args)
+            if lo_hook == "post_cfg":
+                out = lo_patch(dict(input=x, sigma=sigma_batch, denoised=out,
+                                    uncond_denoised=uncond_d,
+                                    model_sampling=ms))
+            return out
+
+        return guided
+
+    def __call__(self, x0: jax.Array, sigmas, **kwargs) -> jax.Array:
+        sigmas = jnp.asarray(sigmas, x0.dtype)
+        denoiser = self._denoiser(np.asarray(sigmas))
+        call_kwargs: dict[str, Any] = dict(kwargs)
+        if self.sonar_config is not None:
+            call_kwargs.setdefault("sonar_config", self.sonar_config)
+        if self.noise is not None:
+            call_kwargs.setdefault("noise_item", self.noise)
+        if self.eta is not None:
+            call_kwargs.setdefault("eta", self.eta)
+        if self.s_noise is not None:
+            call_kwargs.setdefault("s_noise", self.s_noise)
+        if self.seed is not None:
+            call_kwargs.setdefault("seed", self.seed)
+        return self.sampler(denoiser, x0, sigmas, **call_kwargs)
+
+    def jit(self) -> Callable:
+        """A jitted ``fn(x0) -> samples`` closure for a fixed schedule at
+        call time: ``pipe.jit()(x0, sigmas)`` traces per unique shape."""
+        return jax.jit(lambda x0, sigmas: self(x0, sigmas))

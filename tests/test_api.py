@@ -247,3 +247,50 @@ def test_bleh_ops_rule_engine():
     with pytest.raises(ValueError, match="Unknown op"):
         build("SonarBlehOpsNoise", factor=1.0, sonar_custom_noise=chain,
               rules="- ops: [[nosuch, 1]]")
+
+
+def test_sonar_pipeline_end_to_end():
+    from sonar_tpu.api import SonarPipeline
+    from sonar_tpu.cfg import WaveletCFG, WCFGRules
+    from sonar_tpu.samplers import SonarConfig
+
+    def cond_model(x, sb, **kw):
+        return x * 0.9
+
+    def uncond_model(x, sb, **kw):
+        return x * 0.88
+
+    rules = WCFGRules.build(wave="haar", level=2, high_precision_mode=False,
+                            diff=dict(yl_scale=5.0, yh_scales=5.0))
+    pipe = SonarPipeline(
+        model=cond_model, model_uncond=uncond_model,
+        sampler="sonar_euler_ancestral",
+        sonar_config=SonarConfig(momentum=0.9),
+        noise=get_noise_item("pyramid"),
+        cfg_scale=5.0, wavelet_cfg=WaveletCFG(rules=rules), seed=3)
+    x0 = jnp.asarray(np.random.default_rng(0).standard_normal((1, 4, 16, 16)),
+                     jnp.float32) * 14.6
+    sigmas = jnp.asarray([14.6, 5.0, 1.0, 0.0], jnp.float32)
+    out = jax.jit(lambda v: pipe(v, sigmas))(x0)
+    assert out.shape == x0.shape
+    assert np.isfinite(np.asarray(out)).all()
+    # unguided path (no uncond model)
+    pipe2 = SonarPipeline(model=cond_model, noise=get_noise_item("gaussian"), seed=1)
+    out2 = pipe2(x0, sigmas)
+    assert np.isfinite(np.asarray(out2)).all()
+
+
+def test_sonar_pipeline_latent_op_hook():
+    from sonar_tpu.api import SonarPipeline, make_latent_op_cfg_function
+    from sonar_tpu.cfg import DiscreteSampling, SonarLatentOperationQuantileFilter
+
+    patch = make_latent_op_cfg_function(
+        operation=SonarLatentOperationQuantileFilter(quantile=0.95),
+        mode="denoised", blend_strength=1.0, blend_scale_mode="none",
+        model_sampling=DiscreteSampling())
+    pipe = SonarPipeline(model=lambda x, sb, **kw: x * 0.9,
+                         model_uncond=lambda x, sb, **kw: x * 0.88,
+                         latent_op_cfg=patch, seed=2)
+    x0 = jnp.ones((1, 4, 8, 8)) * 10.0
+    out = pipe(x0, jnp.asarray([14.6, 5.0, 1.0, 0.0], jnp.float32))
+    assert np.isfinite(np.asarray(out)).all()
