@@ -129,8 +129,14 @@ def bench_power_noise_mpix(shape=(1, 4, 128, 128), iters=50) -> float:
     return npix * iters / dt / 1e6
 
 
+def bench_sampler_b8(steps: int = 20):
+    """Batched throughput (serving-shaped): batch 8, same latent size."""
+    return bench_sampler_steps_per_sec(steps=steps, shape=(8, 4, 64, 64)) * 8
+
+
 _SINGLE = {
     "sampler": bench_sampler_steps_per_sec,
+    "sampler_b8": bench_sampler_b8,
     "noise": bench_noise_mpix_per_sec,
     "power": bench_power_noise_mpix,
     "anchor": bench_torch_cpu_anchor,
@@ -164,6 +170,7 @@ def main():
         print(_SINGLE[sys.argv[2]]())
         return
     steps_per_sec = _run_isolated("sampler")
+    b8 = _run_isolated("sampler_b8")
     mpix = _run_isolated("noise")
     power_mpix = _run_isolated("power")
     anchor = _run_isolated("anchor")
@@ -176,6 +183,7 @@ def main():
                 "vs_baseline": round(mpix / anchor, 3),
                 "extra": {
                     "per_step_ms_p50": round(1000.0 / steps_per_sec, 3),
+                    "batch8_latent_steps_per_sec": round(b8, 3),
                     "noise_pyramid_mpix_per_sec": round(mpix, 3),
                     "noise_power_mpix_per_sec": round(power_mpix, 3),
                     "torch_cpu_anchor_mpix_per_sec": round(anchor, 3),

@@ -189,3 +189,39 @@ def test_freeu_config_chain_filtering():
     mid = FreeUExtremeConfig(stage_1=True, frux_config=leaf)
     head = FreeUExtremeConfig(stage_1=True, frux_config=mid)
     assert len(head.get_config_list()) == 2
+
+
+def test_wcfg_5d_video_latents(cfg_args):
+    rng = np.random.default_rng(5)
+    shp = (1, 4, 3, 8, 8)
+    x = jnp.asarray(rng.standard_normal(shp), jnp.float32) * 5
+    cd = jnp.asarray(rng.standard_normal(shp), jnp.float32)
+    ud = jnp.asarray(rng.standard_normal(shp), jnp.float32)
+    args = dict(cfg_args) | dict(input=x, cond=x - cd * 5, uncond=x - ud * 5,
+                                 cond_denoised=cd, uncond_denoised=ud)
+    rules = WCFGRules.build(wave="haar", level=1, high_precision_mode=False,
+                            diff=dict(yl_scale=7.5, yh_scales=7.5))
+    out = WaveletCFG(rules=rules)(args)
+    assert out.shape == shp
+    ref = basic_cfg(args)
+    assert float(jnp.abs(out - ref).max()) < 1e-3  # frames folded, PR exact
+
+
+def test_wcfg_1d_dwt_for_3d_latents(cfg_args):
+    rng = np.random.default_rng(6)
+    shp = (1, 4, 64)
+    x = jnp.asarray(rng.standard_normal(shp), jnp.float32) * 5
+    cd = jnp.asarray(rng.standard_normal(shp), jnp.float32)
+    ud = jnp.asarray(rng.standard_normal(shp), jnp.float32)
+    args = dict(cfg_args) | dict(input=x, cond=x - cd * 5, uncond=x - ud * 5,
+                                 cond_denoised=cd, uncond_denoised=ud)
+    rules = WCFGRules.build(wave="db2", level=2, use_1d_dwt=True,
+                            high_precision_mode=False,
+                            diff=dict(yl_scale=7.5, yh_scales=7.5))
+    out = WaveletCFG(rules=rules)(args)
+    assert out.shape == shp
+    assert float(jnp.abs(out - basic_cfg(args)).max()) < 1e-3
+    # 3D without use_1d_dwt must raise
+    bad = WCFGRules.build(wave="haar", level=1, high_precision_mode=False)
+    with pytest.raises(RuntimeError, match="use_1d_dwt"):
+        WaveletCFG(rules=bad)(args)
