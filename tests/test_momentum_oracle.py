@@ -138,3 +138,87 @@ def test_momentum_step_window_oracle():
     out = sample_sonar_euler(jx_model, jnp.asarray(x0), jnp.asarray(sigmas),
                              sonar_config=cfg)
     assert float(jnp.abs(out - jnp.asarray(x)).max()) < 2e-4
+
+
+class NpDpmppSde(NpSonar):
+    """Numpy transcription of SonarDPMPPSDE.momentum_step (py/sonar.py:626-735)."""
+
+    @staticmethod
+    def _ancestral(sigma, sigma_next, eta=1.0):
+        if sigma_next == 0 or eta == 0:
+            return sigma_next, 0.0
+        su = min(sigma_next,
+                 eta * np.sqrt(sigma_next**2 * (sigma**2 - sigma_next**2) / sigma**2))
+        return np.sqrt(sigma_next**2 - su**2), su
+
+    def dpmpp_step(self, i, x, sigma, sigma_next, model, noise_fn, eta=1.0,
+                   s_noise=1.0):
+        sigma_down, _ = self._ancestral(sigma, sigma_next, eta)
+        denoised = model(x, sigma)
+        if sigma_next == 0:
+            return self.step(i, x, denoised, sigma, sigma_down)
+        adjusted = (self.m + (1 - self.m) / 2) if self.hd is not None else self.m
+        t, t_next = -np.log(sigma), -np.log(sigma_next)
+        r = 0.5
+        h = t_next - t
+        s = t + h * r
+        fac = 1 / (2 * r)
+        s_t, s_s = np.exp(-t), np.exp(-s)
+        sd, su = self._ancestral(s_t, s_s, eta)
+        s_ = -np.log(sd)
+        md = self.momentum_denoised(x, denoised, sigma, i)
+        diff_2 = np.expm1(t - s_) * md
+        # get_momentum_d with explicit d (py/sonar.py:285-307)
+        if adjusted == 1 or self.mode == "denoised":
+            momentum_d = diff_2
+        else:
+            momentum_d = self.mix_with(diff_2, adjusted)
+            self.update_hist(diff_2 if self.mode == "new" else momentum_d, i)
+            if not self.check(i):
+                momentum_d = diff_2
+        x_2 = (np.exp(-s_) / s_t) * x - momentum_d
+        x_2 = x_2 + noise_fn(2 * i) * (s_noise * su)
+        denoised_2 = model(x_2, s_s)
+        md2 = self.momentum_denoised(x, denoised_2, s_s, i)
+        s_t_next = np.exp(-t_next)
+        sd, su = self._ancestral(s_t, s_t_next, eta)
+        t_down = -np.log(sd)
+        denoised_d = (1 - fac) * md + fac * md2
+        diff_1 = np.expm1(t - t_down) * denoised_d
+        if adjusted == 1 or self.mode == "denoised":
+            momentum_d = diff_1
+        else:
+            momentum_d = self.mix_with(diff_1, adjusted)
+            self.update_hist(diff_1 if self.mode == "new" else momentum_d, i)
+            if not self.check(i):
+                momentum_d = diff_1
+        x = (np.exp(-t_down) / s_t) * x - momentum_d
+        x = x + noise_fn(2 * i + 1) * (s_noise * su)
+        return x
+
+    def mix_with(self, item, momentum):
+        if self.hd is None:
+            return item
+        return self.hd + (item - self.hd) * momentum
+
+
+def test_dpmpp_momentum_trajectory_matches_numpy_oracle():
+    np_model, jx_model = np_model_factory()
+    sigmas = karras(6)
+    rng = np.random.default_rng(2)
+    x0 = (rng.standard_normal(SHAPE) * sigmas[0]).astype(np.float32)
+    noises = rng.standard_normal((2 * len(sigmas), *SHAPE)).astype(np.float32)
+
+    oracle = NpDpmppSde(momentum=0.8, momentum_hist=0.6)
+    x = x0.copy()
+    for i in range(len(sigmas) - 1):
+        x = oracle.dpmpp_step(i, x, sigmas[i], sigmas[i + 1], np_model,
+                              lambda k: noises[k])
+
+    from sonar_tpu.samplers import sample_sonar_dpmpp_sde
+
+    cfg = SonarConfig(momentum=0.8, momentum_hist=0.6)
+    out = sample_sonar_dpmpp_sde(
+        jx_model, jnp.asarray(x0), jnp.asarray(sigmas), sonar_config=cfg,
+        noise_sampler=lambda step, s, sn: jnp.asarray(noises)[step])
+    assert float(jnp.abs(out - jnp.asarray(x)).max()) < 5e-4
