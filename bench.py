@@ -150,13 +150,18 @@ def _run_isolated(name: str) -> float:
     executions ~200x through this environment's TPU tunnel (measured both
     orderings); per-metric processes give honest numbers. Falls back to
     in-process on any subprocess failure."""
+    import os
     import subprocess
     import sys
 
+    env = dict(os.environ)
+    # persistent XLA compilation cache: repeat bench runs (and the metrics
+    # sharing programs) skip the multi-minute TPU compiles
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/sonar_jax_cache")
     try:
         out = subprocess.run(
             [sys.executable, __file__, "--single", name],
-            capture_output=True, text=True, timeout=560, check=True,
+            capture_output=True, text=True, timeout=560, check=True, env=env,
         )
         return float(out.stdout.strip().splitlines()[-1])
     except Exception:

@@ -28,10 +28,18 @@ def make_train_step(
     *,
     sigma_min: float = 0.03,
     sigma_max: float = 14.6,
+    remat: bool = False,
 ) -> Callable:
     """Returns ``train_step(params, opt_state, batch, key) ->
-    (params, opt_state, loss)``; ``batch`` is clean latents (B,C,H,W)."""
+    (params, opt_state, loss)``; ``batch`` is clean latents (B,C,H,W).
+
+    ``remat=True`` rematerializes the UNet forward in the backward pass
+    (jax.checkpoint) — trades ~30% more FLOPs for activation memory, the
+    standard lever for fitting larger batches in HBM."""
     optimizer = optimizer or optax.adam(1e-4)
+    apply = (
+        jax.checkpoint(unet_apply, static_argnums=(3,)) if remat else unet_apply
+    )
 
     def loss_fn(params, batch, key):
         ksig, keps = jax.random.split(key)
@@ -44,7 +52,7 @@ def make_train_step(
         eps = jax.random.normal(keps, batch.shape, batch.dtype)
         noised = batch + sigma.reshape(-1, 1, 1, 1) * eps
         c_in = (1.0 / jnp.sqrt(1.0 + sigma**2)).reshape(-1, 1, 1, 1)
-        eps_hat = unet_apply(params, noised * c_in, sigma, cfg)
+        eps_hat = apply(params, noised * c_in, sigma, cfg)
         return jnp.mean((eps_hat - eps) ** 2)
 
     def train_step(params, opt_state, batch, key):
