@@ -82,7 +82,7 @@ def blend_scalar(a: float, b: float, t: float, *, blend_function=None, clamp_fun
     if blend_function is None:
         val = a * (1.0 - t) + b * t
     else:
-        val = float(blend_function(jnp.float64(a) if False else jnp.asarray(a, jnp.float32),
+        val = float(blend_function(jnp.asarray(a, jnp.float32),
                                    jnp.asarray(b, jnp.float32),
                                    jnp.asarray(t, jnp.float32)))
     return clamp_function(val) if clamp_function is not None else val

@@ -63,7 +63,7 @@ class Generator(NoiseItem):
         }
 
     def clone(self):
-        p = self.params()
+        p = self.cloned_params()
         factor = p.pop("factor")
         opts = p.pop("options", {})
         return self.__class__(factor, **p, **opts)

@@ -46,7 +46,7 @@ class TypedNoiseItem(NoiseItem):
                                    **gen_kwargs)
 
     def clone(self):
-        p = self.params()
+        p = self.cloned_params()
         factor = p.pop("factor")
         gen_kwargs = p.pop("gen_kwargs")
         return self.__class__(factor, **p, **gen_kwargs)

@@ -213,7 +213,7 @@ class ScatternetFilteredNoise(NoiseItem):
             1.0, noise_sampler=noise, mode=padding_mode, **gen_kwargs)
 
     def clone(self):
-        p = self.params()
+        p = self.cloned_params()
         factor = p.pop("factor")
         kw = p.pop("gen_kwargs")
         return self.__class__(factor, **p, **kw)

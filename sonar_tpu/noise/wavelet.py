@@ -276,7 +276,7 @@ class WaveletFilteredNoise(NoiseItem):
             1.0, noise_sampler=noise, noise_sampler_high=noise_high, **gen_kwargs)
 
     def clone(self):
-        p = self.params()
+        p = self.cloned_params()
         factor = p.pop("factor")
         kw = p.pop("gen_kwargs")
         return self.__class__(factor, **p, **kw)

@@ -338,3 +338,31 @@ def test_deep_composition_tree_under_scan():
     assert np.isfinite(np.asarray(out)).all()
     for i in range(4):
         assert abs(float(tstd(out[i])) - 1.0) < 0.2
+
+
+def test_clone_independence():
+    """SURVEY §4d: clones are independent configs — mutating one never
+    affects the other, for leaves, chains, and nested combinators."""
+    from sonar_tpu.noise import NoiseChain
+
+    chain = NoiseChain([gauss(2.0), get_noise_item("uniform", factor=3.0)])
+    sched = ScheduledNoise(noise=chain, start_sigma=5.0, end_sigma=1.0)
+    c = sched.clone()
+    c.set_factor(9.0)
+    c.noise.items[0].set_factor(7.0)
+    assert sched.factor == 1.0
+    assert sched.noise.items[0].factor == 2.0
+    # chain rescale on the clone leaves the original chain untouched
+    r = chain.rescaled(1.0)
+    assert chain.chain_factor == pytest.approx(5.0)
+    assert r.chain_factor == pytest.approx(1.0)
+
+
+def test_noise_sampler_handle_convenience():
+    from sonar_tpu.noise import NoiseSamplerHandle
+
+    ns = NoiseSamplerHandle(gauss(), (1, 4, 8, 8), seed=3)
+    a = ns(1.0, 0.9)
+    b = ns(0.9, 0.8)
+    assert a.shape == (1, 4, 8, 8)
+    assert not np.allclose(np.asarray(a), np.asarray(b))
