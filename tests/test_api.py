@@ -294,3 +294,30 @@ def test_sonar_pipeline_latent_op_hook():
     x0 = jnp.ones((1, 4, 8, 8)) * 10.0
     out = pipe(x0, jnp.asarray([14.6, 5.0, 1.0, 0.0], jnp.float32))
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_override_sigma_escape_hatch():
+    """TypedNoiseItem override_sigma* lets sigma-dependent generators run
+    outside sampling (py/noise.py:100-134)."""
+    from sonar_tpu.noise import TypedNoiseItem
+
+    # brownian without sampling context normally raises (needs sigma range)
+    with pytest.raises(ValueError, match="sigma_min"):
+        make_noise_sampler(TypedNoiseItem(noise_type="brownian"), (1, 4, 8, 8),
+                           seed=0)
+    item = TypedNoiseItem(noise_type="brownian", override_sigma=5.0,
+                          override_sigma_next=4.0, override_sigma_min=0.1,
+                          override_sigma_max=10.0)
+    fn, st = make_noise_sampler(item, (1, 4, 8, 8), seed=0)
+    noise, _ = fn(st, None, None)  # no runtime sigmas needed
+    assert np.isfinite(np.asarray(noise)).all()
+    assert float(jnp.std(noise)) > 0.5
+
+
+def test_to_comfy_noise_adapter():
+    chain = build("SonarCustomNoise", factor=1.0, noise_type="gaussian")
+    adapter = build("SonarToComfyNOISE", sonar_custom_noise=chain, seed=5)
+    latent = {"samples": jnp.zeros((2, 4, 8, 8))}
+    out = adapter.generate_noise(latent)
+    assert out.shape == (2, 4, 8, 8)
+    assert abs(float(jnp.std(out)) - 1.0) < 0.2
