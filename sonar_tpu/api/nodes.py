@@ -641,8 +641,7 @@ def apply_latent_op_cfg(*, operation, mode="denoised_sub_uncond", **kwargs):
 
 @register_node("NoisyLatentLike")
 def noisy_latent_like_node(*, latent, **kwargs):
-    kwargs.pop("cpu_noise", None)
-    kwargs.pop("custom_noise_opt", None) and None
+    kwargs.pop("cpu_noise", None)  # XLA owns placement
     custom = kwargs.pop("custom_noise_opt", None)
     return noisy_latent_like(jnp.asarray(latent), custom_noise=custom, **kwargs)
 

@@ -321,3 +321,17 @@ def test_to_comfy_noise_adapter():
     out = adapter.generate_noise(latent)
     assert out.shape == (2, 4, 8, 8)
     assert abs(float(jnp.std(out)) - 1.0) < 0.2
+
+
+def test_noisy_latent_like_node_custom_noise_passthrough():
+    """Regression: custom_noise_opt must reach noisy_latent_like (a stray
+    double-pop used to drop it)."""
+    chain = build("SonarCustomNoise", factor=1.0, noise_type="pyramid")
+    latent = jnp.zeros((1, 4, 16, 16))
+    a = build("NoisyLatentLike", latent=latent, seed=0, custom_noise_opt=chain)
+    b = build("NoisyLatentLike", latent=latent, seed=0)  # gaussian default
+    # pyramid noise has strong low-frequency energy vs gaussian
+    def lowfreq_share(t):
+        spec = jnp.abs(jnp.fft.rfft2(t))
+        return float(spec[..., :3, :3].sum() / spec.sum())
+    assert lowfreq_share(a) > lowfreq_share(b) * 1.5
