@@ -65,7 +65,8 @@ def noisy_latent_like(
     item = custom_noise if custom_noise is not None else get_noise_item(noise_type)
     fn, state = make_noise_sampler(
         item, latent.shape, dtype=latent.dtype, seed=seed,
-        sigma_min=sigma_min, sigma_max=sigma_max, normalized=normalize)
+        sigma_min=sigma_min, sigma_max=sigma_max, normalized=normalize,
+        ref_latent=latent)
     draws = []
     for _ in range(repeat_batch):
         noise, state = fn(state, sigma, sigma_next)
@@ -131,7 +132,7 @@ def noise_image(
         targets = tuple(range(channels))
     item = custom_noise if custom_noise is not None else get_noise_item(noise_type)
     fn, state = make_noise_sampler(item, x.shape, dtype=x.dtype, seed=seed,
-                                   normalized=normalize)
+                                   normalized=normalize, ref_latent=x)
     result, _ = fn(state, None, None)
     result = scale_noise(result, normalized=True)
     if greyscale_mode:

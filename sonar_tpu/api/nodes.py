@@ -75,7 +75,6 @@ from .functions import (
     noise_image,
     noisy_latent_like,
     sampler_config_override,
-    split_noise_chain,
 )
 
 NODES: dict[str, Callable] = {}
@@ -198,7 +197,24 @@ def sampler_sonar_dpmpp_sde(**kwargs):
 
 
 @register_node("SamplerConfigOverride")
-def node_sampler_config_override(*, sampler, **kwargs):
+def node_sampler_config_override(*, sampler, yaml_parameters=None, **kwargs):
+    kwargs.pop("cpu_noise", None)  # XLA owns placement
+    if yaml_parameters:
+        import yaml
+
+        parsed = yaml.safe_load(yaml_parameters)
+        if parsed is not None:
+            if not isinstance(parsed, dict):
+                raise ValueError("yaml_parameters must parse to a dict")
+            kwargs |= parsed
+    noise_type = kwargs.pop("noise_type", "DEFAULT")
+    custom = kwargs.pop("custom_noise_opt", None)
+    if custom is not None:
+        kwargs.setdefault("noise_item", custom)
+    elif noise_type and noise_type != "DEFAULT":
+        from ..noise.presets import get_noise_item
+
+        kwargs.setdefault("noise_item", get_noise_item(noise_type))
     return sampler_config_override(sampler, **kwargs)
 
 
@@ -237,7 +253,12 @@ def adv_powerlaw(*, factor=1.0, rescale=0.0, div_max_dims="global",
 
 @register_node("SonarAdvancedCollatzNoise")
 def adv_collatz(*, factor=1.0, rescale=0.0, sonar_custom_noise_opt=None,
+                seed_custom_noise=None, mix_custom_noise=None,
                 seed_custom_noise_opt=None, mix_custom_noise_opt=None, **kwargs):
+    # reference optional input names are seed_custom_noise / mix_custom_noise
+    # (py/nodes/noise_types.py); the *_opt forms are kept as aliases.
+    seed_custom_noise_opt = seed_custom_noise_opt or seed_custom_noise
+    mix_custom_noise_opt = mix_custom_noise_opt or mix_custom_noise
     if isinstance(kwargs.get("dims"), str):
         kwargs["dims"] = tuple(int(v) for v in kwargs["dims"].split(","))
     if isinstance(kwargs.get("chain_length"), str):
@@ -249,27 +270,37 @@ def adv_collatz(*, factor=1.0, rescale=0.0, sonar_custom_noise_opt=None,
         factor, rescale, sonar_custom_noise_opt)
 
 
+# quantile_norm_mode → (quantile_norm_dim, quantile_norm_flatten), exactly the
+# reference widget mapping (py/nodes/noise_types.py:454-467; unknown → (1, True)).
 _QNORM_MODE_MAP = {
-    "default": dict(), "disabled": dict(quantile_norm=0.0),
-    "global": dict(quantile_norm_dim=None, quantile_norm_flatten=False),
-    "dim0": dict(quantile_norm_dim=0), "dim1": dict(quantile_norm_dim=1),
-    "dim0_nonflat": dict(quantile_norm_dim=0, quantile_norm_flatten=False),
-    "dim1_nonflat": dict(quantile_norm_dim=1, quantile_norm_flatten=False),
+    "global": (None, True), "batch": (0, True), "channel": (1, True),
+    "batch_row": (2, True), "batch_col": (3, True),
+    "nonflat_row": (2, False), "nonflat_col": (3, False),
 }
 
 
 @register_node("SonarAdvancedDistroNoise")
-def adv_distro(*, factor=1.0, rescale=0.0, distro="normal",
-               quantile_norm_mode="default", sonar_custom_noise_opt=None, **kwargs):
-    kwargs |= _QNORM_MODE_MAP.get(quantile_norm_mode, {})
-    return _chain(DistroGenerator(factor, distro=distro, **kwargs),
-                  factor, rescale, sonar_custom_noise_opt)
+def adv_distro(*, factor=1.0, rescale=0.0, distro=None, distribution="normal",
+               quantile_norm_mode="batch", result_index="-1",
+               sonar_custom_noise_opt=None, **kwargs):
+    normdim, normflat = _QNORM_MODE_MAP.get(quantile_norm_mode, (1, True))
+    if isinstance(result_index, str):
+        result_index = tuple(int(v) for v in result_index.split())
+    return _chain(
+        DistroGenerator(factor, distro=distro if distro is not None else distribution,
+                        quantile_norm_dim=normdim, quantile_norm_flatten=normflat,
+                        result_index=result_index, **kwargs),
+        factor, rescale, sonar_custom_noise_opt)
 
 
 @register_node("SonarWaveletNoise")
 def wavelet_noise(*, factor=1.0, rescale=0.0, sonar_custom_noise_opt=None,
-                  custom_noise_opt=None, **kwargs):
-    return _chain(WaveletGenerator(factor, noise_sampler=custom_noise_opt, **kwargs),
+                  custom_noise_opt=None, custom_noise=None,
+                  update_blend_mode=None, **kwargs):
+    if update_blend_mode is not None:
+        kwargs.setdefault("update_blend_function", BLENDING_MODES[update_blend_mode])
+    child = custom_noise_opt if custom_noise_opt is not None else custom_noise
+    return _chain(WaveletGenerator(factor, noise_sampler=child, **kwargs),
                   factor, rescale, sonar_custom_noise_opt)
 
 
@@ -370,7 +401,12 @@ def random_noise(*, factor=1.0, sonar_custom_noise, mix_count=1, normalize=None)
 
 @register_node("SonarChannelNoise")
 def channel(*, factor=1.0, sonar_custom_noise, insufficient_channels_mode="wrap",
-            normalize=None):
+            normalize=None, mix_count=1):
+    # ``mix_count`` is declared in the reference node schema
+    # (py/nodes/noise_filters.py:370-375) but its go() never accepts or
+    # forwards it (noise_filters.py:385-398) — accepted here for workflow
+    # compatibility and ignored, matching the (buggy) reference surface.
+    del mix_count
     return _chain(
         ChannelNoise(factor, noise=sonar_custom_noise.clone(),
                      insufficient_channels_mode=insufficient_channels_mode,
@@ -560,8 +596,15 @@ def custom_params(*, factor=1.0, custom_noise, normalize=None, **kwargs):
 
 
 @register_node("SonarPowerFilter")
-def power_filter(*, sonar_power_filter_opt=None, compose_mode="max", **kwargs):
-    return PowerFilter(compose_with=sonar_power_filter_opt,
+def power_filter(*, sonar_power_filter_opt=None, power_filter_opt=None,
+                 compose_mode="max", **kwargs):
+    # the reference's optional chain input is named power_filter_opt
+    # (py/nodes/powernoise.py); sonar_power_filter_opt kept as an alias.
+    compose_with = (sonar_power_filter_opt if sonar_power_filter_opt is not None
+                    else power_filter_opt)
+    if "blur" in kwargs:  # widget name for rel_bw (py/nodes/powernoise.py:798-813)
+        kwargs.setdefault("rel_bw", kwargs.pop("blur"))
+    return PowerFilter(compose_with=compose_with,
                        compose_mode=compose_mode, **kwargs)
 
 
@@ -586,10 +629,18 @@ def power_filter_noise(*, factor=1.0, rescale=0.0, sonar_custom_noise,
 
 
 @register_node("SonarPreviewFilter")
-def preview_filter(*, sonar_power_filter, size=(128, 128), **kwargs):
+def preview_filter(*, sonar_power_filter, size=None, preview_size="128x128",
+                   filter_gain=1 / 3, kernel_gain=1 / 3, norm_factor=1.0,
+                   **kwargs):
     from .preview import preview_power_filter
 
-    return preview_power_filter(sonar_power_filter, size=size, **kwargs)
+    if size is None:
+        # "WxH" widget string → (H, W) (py/nodes/powernoise.py:876-879)
+        w, h = (int(v) for v in str(preview_size).split("x", 1))
+        size = (h, w)
+    return preview_power_filter(sonar_power_filter, size=size,
+                                filter_gain=filter_gain, kernel_gain=kernel_gain,
+                                normalization_factor=norm_factor, **kwargs)
 
 
 # -- latent operations (py/nodes/latent_operations.py) ----------------------------
@@ -620,20 +671,34 @@ def latent_op_noise(*, custom_noise, **kwargs):
 
 
 @register_node("SonarLatentOperationSetSeed")
-def latent_op_set_seed(*, seed=0, restore_rng_state=True, op=None, **kwargs):
+def latent_op_set_seed(*, seed=0, restore_rng_state=True, operation=None,
+                       op=None, **kwargs):
     """Counter-based keys make RNG save/restore a no-op; the seed feeds the
-    wrapped op's stream when it takes one (py/latent_ops.py:189-209)."""
+    wrapped op's stream when it takes one (py/latent_ops.py:189-209).
+    The reference input name is ``operation``; ``op`` kept as an alias."""
     del restore_rng_state
+    if operation is not None:
+        op = operation
     if isinstance(op, SonarLatentOperationNoise):
         op.seed = seed
     return SonarLatentOperation(op=op, **kwargs)
 
 
 @register_node("SonarApplyLatentOperationCFG")
-def apply_latent_op_cfg(*, operation, mode="denoised_sub_uncond", **kwargs):
+def apply_latent_op_cfg(*, operation=None, mode="denoised_sub_uncond",
+                        model=None, **kwargs):
     from .guider import make_latent_op_cfg_function
 
-    return make_latent_op_cfg_function(operation=operation, mode=mode, **kwargs)
+    # the reference patches the MODEL in place; here the returned (fn, hook)
+    # pair *is* the patch, so a passed model is not needed and ignored.
+    del model
+    ops = [operation] if operation is not None else []
+    for k in sorted(kwargs):
+        if k.startswith("operation_") and k[10:].isdigit():
+            op = kwargs.pop(k)
+            if op is not None:
+                ops.append(op)
+    return make_latent_op_cfg_function(operations=tuple(ops), mode=mode, **kwargs)
 
 
 # -- misc (py/nodes/misc.py) -------------------------------------------------------
@@ -643,6 +708,13 @@ def apply_latent_op_cfg(*, operation, mode="denoised_sub_uncond", **kwargs):
 def noisy_latent_like_node(*, latent, **kwargs):
     kwargs.pop("cpu_noise", None)  # XLA owns placement
     custom = kwargs.pop("custom_noise_opt", None)
+    # reference optional-input names (py/nodes/misc.py): mul_by_sigmas_opt is
+    # the SIGMAS input; model_opt is the MODEL input (used only for its
+    # model_sampling object, which is what this framework takes directly).
+    if "mul_by_sigmas_opt" in kwargs:
+        kwargs.setdefault("mul_by_sigmas", kwargs.pop("mul_by_sigmas_opt"))
+    if "model_opt" in kwargs:
+        kwargs.setdefault("model_sampling", kwargs.pop("model_opt"))
     return noisy_latent_like(jnp.asarray(latent), custom_noise=custom, **kwargs)
 
 
@@ -674,13 +746,38 @@ def to_comfy_noise(*, sonar_custom_noise, **kwargs):
     return _Noise(sonar_custom_noise.clone(), kwargs.get("seed", 0))
 
 
+# The reference registers this node under the literal mapping name
+# "SONAR_CUSTOM_NOISE to NOISE" (py/nodes/misc.py:902); alias it so workflow
+# JSON ports 1:1. It also names the noise input ``custom_noise``.
+@register_node("SONAR_CUSTOM_NOISE to NOISE")
+def to_comfy_noise_refname(*, custom_noise=None, sonar_custom_noise=None, **kwargs):
+    return to_comfy_noise(
+        sonar_custom_noise=custom_noise if custom_noise is not None
+        else sonar_custom_noise, **kwargs)
+
+
 @register_node("SonarSplitNoiseChain")
-def split_chain(*, sonar_custom_noise, split_at=1, **_kwargs):
-    return split_noise_chain(sonar_custom_noise, split_at)
+def split_chain(*, factor=1.0, rescale=0.0, normalize=None,
+                sonar_custom_noise_opt=None, custom_noise=None):
+    """Split off a sub-chain as one chain link (py/nodes/misc.py:628-663):
+    the node wraps ``custom_noise`` in a BlendedNoise whose blend function
+    returns only the first input, so the wrapped chain contributes as a
+    single normalized item of the outer chain."""
+    item = None
+    if custom_noise is not None:
+        item = BlendedNoise(factor, blend_function=lambda a, _b, _t: a,
+                            normalize=tristate(normalize),
+                            custom_noise_1=custom_noise.clone(),
+                            custom_noise_2=None, noise_2_percent=0.0)
+    return _chain(item, factor, rescale, sonar_custom_noise_opt)
 
 
 @register_node("SonarWaveletCFG")
-def wavelet_cfg_node(*, yaml_parameters=None, existing_cfg=None, **kwargs):
+def wavelet_cfg_node(*, yaml_parameters=None, existing_cfg=None,
+                     fallback_mode=None, operation_cond=None,
+                     operation_uncond=None, operation_fallback_cfg=None,
+                     operation_wavelet_cfg=None, operation_result=None,
+                     **kwargs):
     params = dict(kwargs)
     if yaml_parameters:
         import yaml
@@ -688,8 +785,17 @@ def wavelet_cfg_node(*, yaml_parameters=None, existing_cfg=None, **kwargs):
         parsed = yaml.safe_load(yaml_parameters)
         if parsed:
             params |= parsed
+    # fallback_mode widget: "existing" keeps a connected CFG function as the
+    # fallback, "own" forces the plain-CFG fallback (py/nodes/misc.py:700-712).
+    if fallback_mode is not None:
+        params.setdefault("fallback_existing", fallback_mode == "existing")
     rules = WCFGRules.build(**params)
-    return WaveletCFG(rules=rules, existing_cfg=existing_cfg)
+    return WaveletCFG(rules=rules, existing_cfg=existing_cfg,
+                      operation_cond=operation_cond,
+                      operation_uncond=operation_uncond,
+                      operation_fallback_cfg=operation_fallback_cfg,
+                      operation_wavelet_cfg=operation_wavelet_cfg,
+                      operation_result=operation_result)
 
 
 # -- FreeU (py/nodes/freeu_extreme.py) ---------------------------------------------
@@ -714,19 +820,27 @@ def freeu_extreme(*, model_sampling, model_channels, input_config=None,
 
 
 # -- integrations (py/nodes/integrations.py) ---------------------------------------
-# BlendFilterNoise + the restart samplers are implemented natively (the
-# reference gates them on the external bleh / restart_sampling packs);
-# BlehOpsNoise (a rule-program interpreter) is staged.
+# All four integration nodes are implemented natively (the reference gates
+# them on the external bleh / restart_sampling packs): BlendFilterNoise,
+# BlehOpsNoise (sonar_tpu.noise.ops_engine), and both restart samplers.
 
 
 @register_node("SonarBlendFilterNoise")
 def blend_filter_noise(*, factor=1.0, sonar_custom_noise, blend_mode="simple_add",
-                       ffilter=None, ffilter_scale=1.0, ffilter_strength=0.5,
-                       ffilter_threshold=1, enhance_mode="none",
-                       enhance_strength=0.25, affect="result",
+                       ffilter=None, ffilter_custom="", ffilter_scale=1.0,
+                       ffilter_strength=0.0, ffilter_threshold=1,
+                       enhance_mode="none", enhance_strength=0.0, affect="result",
                        normalize_noise=None, normalize_result=None):
     from ..noise.blendfilter import BlendFilterNoise
 
+    # ffilter_custom: comma-separated gain list overriding the preset
+    # (py/nodes/integrations.py:81-86); "none" preset → no filter.
+    if isinstance(ffilter_custom, str) and ffilter_custom.strip():
+        import ast
+
+        ffilter = tuple(ast.literal_eval(f"[{ffilter_custom.strip()}]"))
+    elif ffilter == "none":
+        ffilter = None
     return _chain(
         BlendFilterNoise(factor, noise=sonar_custom_noise.clone(),
                          blend_mode=blend_mode, ffilter=ffilter,

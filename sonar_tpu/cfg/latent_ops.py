@@ -140,7 +140,8 @@ class SonarLatentOperationNoise(SonarLatentOperation):
                 key = jax.random.fold_in(key, bits & 0x7FFFFFFF)
         fn, state = make_noise_sampler(
             self.custom_noise, t.shape, dtype=t.dtype, seed=key,
-            sigma_min=sigma_min, sigma_max=sigma_max, normalized=self.normalize)
+            sigma_min=sigma_min, sigma_max=sigma_max, normalized=self.normalize,
+            ref_latent=t)
         noise, _state = fn(state, s, sigma_next)
         if self.scale_to_sigma and s is not None:
             noise = noise * s

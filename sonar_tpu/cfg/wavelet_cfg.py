@@ -438,6 +438,40 @@ class WCFGRules:
 # ---------------------------------------------------------------------------
 
 
+def _emit_verbose_dump(rule, pcts, wcfg_blend, dbs, verbose_scales):
+    """The reference's per-step rule dump (py/wavelet_cfg.py:225, 364-401):
+    resolved schedule percentages, blend strengths, and per-part yl/yh
+    scales. Values are traced, so the dump rides ``jax.debug.callback`` and
+    lands on :func:`sonar_tpu.utils.profiling.verbose_writer` (pluggable via
+    ``set_verbose_sink``) — works under jit and lax.switch."""
+    from ..utils.profiling import verbose_writer
+
+    def _host_dump(pct_sampling, pct_enabled, blend, dbs_v, scales):
+        verbose_writer(
+            "WCFG: rule "
+            f"[{rule.start_sigma:g}, {rule.end_sigma:g}] "
+            f"pct_sampling={float(np.asarray(pct_sampling)):.4f} "
+            f"pct_enabled={float(np.asarray(pct_enabled)):.4f} "
+            f"blend={float(np.asarray(blend)):.4f} "
+            f"difference_blend={float(np.asarray(dbs_v)):.4f}"
+        )
+        for name, (yl, yh) in scales.items():
+            yh_list = jax.tree.map(lambda a: np.asarray(a).tolist(), yh)
+            verbose_writer(
+                f"WCFG:   {name}: yl_scale={np.asarray(yl).tolist()} "
+                f"yh_scales={yh_list}"
+            )
+
+    jax.debug.callback(
+        _host_dump,
+        jnp.asarray(pcts.pct_sampling, jnp.float32),
+        jnp.asarray(pcts.pct_enabled_sampling, jnp.float32),
+        jnp.asarray(wcfg_blend, jnp.float32),
+        jnp.asarray(dbs, jnp.float32),
+        verbose_scales,
+    )
+
+
 def basic_cfg(args: dict):
     """x − (uncond + (cond−uncond)·scale) (py/wavelet_cfg.py:656-660)."""
     x, scale = args["input"], args["cond_scale"]
@@ -523,24 +557,38 @@ class WaveletCFG:
             cond2, uncond2 = cond, uncond
 
         # -- wavelet cfg core (py/wavelet_cfg.py:749-791) -----------------------
+        verbose_scales: dict = {}
+
+        def _resolve(name, scales_range, yh):
+            scales = scales_range.get_scales(pcts, yh)
+            if rule.verbose:
+                verbose_scales[name] = (
+                    jnp.asarray(scales.yl_scale, jnp.float32),
+                    jax.tree.map(lambda v: jnp.asarray(v, jnp.float32),
+                                 scales.yh_scales),
+                )
+            return scales
+
         diff_blend = BLENDING_MODES[rule.difference_blend_mode]
         condw = wavelet.forward(cond2.astype(dt))
         uncondw = wavelet.forward(uncond2.astype(dt))
         if rule.cond is not None:
-            condw = apply_wcfg_scales(rule.cond.get_scales(pcts, condw[1]), *condw)
+            condw = apply_wcfg_scales(_resolve("cond", rule.cond, condw[1]), *condw)
         if rule.uncond is not None:
-            uncondw = apply_wcfg_scales(rule.uncond.get_scales(pcts, uncondw[1]),
-                                        *uncondw)
+            uncondw = apply_wcfg_scales(
+                _resolve("uncond", rule.uncond, uncondw[1]), *uncondw)
         diffw = (condw[0] - uncondw[0],
                  tuple(a - b for a, b in zip(condw[1], uncondw[1])))
         if rule.diff is not None:
-            diffw = apply_wcfg_scales(rule.diff.get_scales(pcts, diffw[1]), *diffw)
+            diffw = apply_wcfg_scales(_resolve("diff", rule.diff, diffw[1]), *diffw)
         dbs = rule.difference_blend_strength.get_value(pcts)
         resultw = (diff_blend(uncondw[0], diffw[0], dbs),
                    tuple(diff_blend(u, d, dbs) for u, d in zip(uncondw[1], diffw[1])))
         if rule.final is not None:
-            resultw = apply_wcfg_scales(rule.final.get_scales(pcts, resultw[1]),
+            resultw = apply_wcfg_scales(_resolve("final", rule.final, resultw[1]),
                                         *resultw)
+        if rule.verbose:
+            _emit_verbose_dump(rule, pcts, wcfg_blend, dbs, verbose_scales)
         result = wavelet.inverse(*resultw, out_shape=cond2.shape).astype(x.dtype)
 
         # -- blend with the fallback CFG (py/wavelet_cfg.py:820-836) ------------

@@ -16,8 +16,14 @@ import zlib
 import jax
 
 
-def key_from_seed(seed: int | None) -> jax.Array:
-    """Make a PRNG key from an integer seed (None → 0)."""
+def key_from_seed(seed: int | jax.Array | None) -> jax.Array:
+    """Make a PRNG key from an integer seed (None → 0). A typed PRNG key
+    passes through unchanged so callers can thread derived keys anywhere a
+    seed is accepted."""
+    if isinstance(seed, jax.Array) and jax.dtypes.issubdtype(
+        seed.dtype, jax.dtypes.prng_key
+    ):
+        return seed
     return jax.random.key(0 if seed is None else int(seed) & 0xFFFFFFFF)
 
 

@@ -46,6 +46,11 @@ class NoiseCtx:
     dtype: Any = jnp.float32
     sigma_min: float | None = None
     sigma_max: float | None = None
+    # The exemplar latent ``x`` the sampler was built from (py/noise.py passes
+    # x into every make_noise_sampler; e.g. ModulatedNoise modulates against
+    # it by default, py/noise.py:846). May be a traced value; excluded from
+    # equality so NoiseCtx stays usable as a plain config record.
+    ref: Any = dataclasses.field(default=None, compare=False, repr=False)
 
     @property
     def ndim(self) -> int:
@@ -73,6 +78,28 @@ class NoiseCtx:
 
     def with_shape(self, shape: tuple[int, ...]) -> "NoiseCtx":
         return dataclasses.replace(self, shape=tuple(shape))
+
+    def ref_like(self):
+        """The exemplar latent conformed to this ctx's shape, or None.
+
+        Spatial-only mismatches are bicubic-resized (the reference's
+        interpolate fallback, py/noise.py:582-589); any other mismatch
+        returns None so callers fall back to their no-reference path.
+        """
+        if self.ref is None:
+            return None
+        ref = jnp.asarray(self.ref).astype(self.dtype)
+        if tuple(ref.shape) == tuple(self.shape):
+            return ref
+        if (
+            ref.ndim == self.ndim
+            and ref.ndim >= 3
+            and tuple(ref.shape[:-2]) == tuple(self.shape[:-2])
+        ):
+            from ..ops.resample import scale_samples
+
+            return scale_samples(ref, self.width, self.height, mode="bicubic")
+        return None
 
     def adjusted_shape(self) -> tuple[int, ...]:
         """5D (B,C,F,H,W) folded to (B,C*F,H,W) for 2D-spatial algorithms
@@ -128,6 +155,17 @@ class NoiseItem:
     def clone(self) -> "NoiseItem":
         p = self.cloned_params()
         factor = p.pop("factor")
+        # The base __init__ records ``normalize`` for every item, but some
+        # subclasses expose only normalize_result/_noise/... — drop params
+        # their __init__ doesn't accept (only reachable at the default).
+        import inspect
+
+        sig = inspect.signature(self.__class__.__init__)
+        if not any(
+            prm.kind == prm.VAR_KEYWORD for prm in sig.parameters.values()
+        ):
+            allowed = set(sig.parameters) - {"self", "factor"}
+            p = {k: v for k, v in p.items() if k in allowed}
         return self.__class__(factor, **p)
 
     def set_factor(self, factor: float) -> "NoiseItem":
@@ -192,6 +230,7 @@ def make_noise_sampler(
     sigma_max=None,
     seed: int | jax.Array | None = None,
     normalized: bool = True,
+    ref_latent=None,
 ) -> tuple[SampleFn, Any]:
     """Build ``(sample_fn, init_state)`` for a noise spec tree.
 
@@ -199,9 +238,15 @@ def make_noise_sampler(
     jit/scan-safe; the per-call PRNG stream advance is a ``split`` carried in
     the state, so repeated calls yield independent draws and the whole thing
     is reproducible from ``seed`` on any backend.
+
+    ``ref_latent`` is the exemplar latent ``x`` (the reference passes x into
+    every sampler build, py/noise.py:249); items like ModulatedNoise and
+    GuidedNoise consult it via ``ctx.ref``. It may be a traced value when
+    called inside jit.
     """
     ctx = NoiseCtx(
-        shape=tuple(shape), dtype=dtype, sigma_min=sigma_min, sigma_max=sigma_max
+        shape=tuple(shape), dtype=dtype, sigma_min=sigma_min, sigma_max=sigma_max,
+        ref=ref_latent,
     )
     item.check_dims(ctx)
     key = seed if isinstance(seed, jax.Array) else key_from_seed(seed)

@@ -158,8 +158,12 @@ class GuidedNoise(WrapperNoise):
         else:
             # guidance_euler with x = the noise (py/noise.py:600-614); the
             # reference passes the exemplar x as `denoised` for the shift
-            # stats — approximated here by the noise itself when shifting.
-            ref_shift = guidance_shift(noise, ref) if have_noise else ref
+            # stats (sonar.py:380-398) — carried here as ctx.ref, with the
+            # noise itself as the fallback when no exemplar is available.
+            shift_src = ctx.ref_like()
+            if shift_src is None:
+                shift_src = noise
+            ref_shift = guidance_shift(shift_src, ref) if have_noise else ref
             sigma_safe = jnp.where(sigma == 0, 1.0, sigma)
             d = (noise - ref_shift) / sigma_safe
             euler = noise + d * (sigma_next - sigma) * gf
@@ -399,14 +403,15 @@ class ModulatedNoise(WrapperNoise):
         dims = self.MODULATION_DIMS[self.modulation_dims - 1]
         noise, state = self.child_sample("noise", ctx, state, key, sigma, sigma_next,
                                          normalized=nn)
-        ref = (
-            jnp.zeros(ctx.shape, ctx.dtype)
-            if self.ref_latent_opt is None
-            else self.ref_latent_opt.astype(ctx.dtype)
-        )
-        # ref defaults to x in the reference (py/noise.py:846); the exemplar
-        # latent is not carried in the TPU build — a zeros ref gives unit
-        # scaling, callers pass ref_latent_opt for real modulation.
+        # ref defaults to x in the reference (py/noise.py:846): the exemplar
+        # latent is carried as ctx.ref; explicit ref_latent_opt overrides it,
+        # and a zeros ref (→ unit scaling) remains the last-resort fallback.
+        if self.ref_latent_opt is not None:
+            ref = self.ref_latent_opt.astype(ctx.dtype)
+        else:
+            ref = ctx.ref_like()
+            if ref is None:
+                ref = jnp.zeros(ctx.shape, ctx.dtype)
         _, sigma_up = get_ancestral_step(sigma, sigma_next, eta=1.0)
         out = mod_fn(scale_noise(ref, normalized=nref), noise, 1.0, sigma_up,
                      self.modulation_strength, dims)
@@ -426,6 +431,18 @@ class MultiChildNoise(NoiseItem):
         if not items:
             raise ValueError(f"{type(self).__name__} requires at least one noise item")
         super().__init__(factor, items=items, **kwargs)
+
+    def clone(self):
+        import inspect
+
+        p = self.cloned_params()
+        factor = p.pop("factor")
+        p["noise"] = p.pop("items")  # __init__ takes the child list as noise=
+        sig = inspect.signature(self.__class__.__init__)
+        if not any(m.kind == m.VAR_KEYWORD for m in sig.parameters.values()):
+            allowed = set(sig.parameters) - {"self", "factor"}
+            p = {k: v for k, v in p.items() if k in allowed}
+        return self.__class__(factor, **p)
 
     def check_dims(self, ctx):
         super().check_dims(ctx)
@@ -494,8 +511,18 @@ class ChannelNoise(MultiChildNoise):
                 items.append(None)  # zero channel
         return items
 
-    def child_ctx(self, ctx):
-        return ctx.with_shape((ctx.shape[0], 1) + tuple(ctx.shape[2:]))
+    def child_ctx(self, ctx, channel: int | None = None):
+        """Per-channel ctx; the exemplar latent is sliced to the channel
+        (reference passes x[:, c:c+1] per child, py/noise.py:1116-1123)."""
+        import dataclasses as _dc
+
+        cctx = ctx.with_shape((ctx.shape[0], 1) + tuple(ctx.shape[2:]))
+        ref = ctx.ref_like()
+        if ref is not None and channel is not None:
+            ref = ref[:, channel : channel + 1]
+        elif channel is None:
+            ref = None
+        return _dc.replace(cctx, ref=ref)
 
     def check_dims(self, ctx):
         NoiseItem.check_dims(self, ctx)
@@ -503,17 +530,17 @@ class ChannelNoise(MultiChildNoise):
             item.check_dims(self.child_ctx(ctx))
 
     def init_state(self, ctx, key):
-        cctx = self.child_ctx(ctx)
         return tuple(
-            None if item is None else item.init_state(cctx, jax.random.fold_in(key, i))
+            None if item is None
+            else item.init_state(self.child_ctx(ctx, i), jax.random.fold_in(key, i))
             for i, item in enumerate(self._per_channel_items(ctx))
         )
 
     def sample(self, ctx, state, key, sigma, sigma_next, *, normalized=True):
         normalize = self.get_normalize("normalize", normalized)
-        cctx = self.child_ctx(ctx)
         chunks, new_states = [], []
         for i, item in enumerate(self._per_channel_items(ctx)):
+            cctx = self.child_ctx(ctx, i)
             if item is None:
                 chunks.append(jnp.zeros(cctx.shape, ctx.dtype))
                 new_states.append(None)
@@ -743,6 +770,24 @@ class ResizedNoise(WrapperNoise):
         if (xh, xw) == (nh, nw):
             return ctx, None
         gen_ctx = ctx.with_shape(tuple(ctx.shape[:-2]) + (nh, nw))
+        # ``initial_reference`` controls how the exemplar latent is conformed
+        # to the generation size before child samplers see it
+        # (py/noise.py:1466-1494): when x is larger than the generation
+        # size, prefer_crop crops it, prefer_scale downscales it; when x is
+        # smaller it is always upscaled.
+        ref = ctx.ref_like()
+        if ref is not None:
+            if xh >= nh and xw >= nw:
+                if self.initial_reference == "prefer_crop":
+                    ref = crop_samples(ref, nw, nh, mode=self.crop_mode,
+                                       offset_width=offsw, offset_height=offsh)
+                else:
+                    ref = scale_samples(ref, nw, nh, mode=self.downscale_mode)
+            else:
+                ref = scale_samples(ref, nw, nh, mode=self.upscale_mode)
+        import dataclasses as _dc
+
+        gen_ctx = _dc.replace(gen_ctx, ref=ref)
         if xh >= nh and xw >= nw:
             out = partial(scale_samples, width=xw, height=xh, mode=self.upscale_mode)
         elif xh >= nh or xw >= nw:
@@ -986,8 +1031,11 @@ class CustomNoiseParametersNoise(WrapperNoise):
         import dataclasses
 
         shape = tuple(ctx.shape)
+        ref = ctx.ref if ctx.ref is not None else None
         if len(shape) == 5 and self.frames_to_channels:
             shape = (shape[0], shape[1] * shape[2]) + shape[3:]
+            if ref is not None and tuple(jnp.shape(ref)) == tuple(ctx.shape):
+                ref = jnp.reshape(ref, shape)
         self._spatdims = 1 if len(shape) == 3 else 2
         self._hw = shape[-self._spatdims:]
         if self.ensure_square_aspect_ratio:
@@ -998,7 +1046,7 @@ class CustomNoiseParametersNoise(WrapperNoise):
                 hw = math.ceil(hw)
                 shape = shape[: -self._spatdims] + (hw, hw)
         dtype = self.override_dtype or ctx.dtype
-        return dataclasses.replace(ctx, shape=shape, dtype=dtype)
+        return dataclasses.replace(ctx, shape=shape, dtype=dtype, ref=ref)
 
     def init_state(self, ctx, key):
         if self.rng_offset_mode == "override":

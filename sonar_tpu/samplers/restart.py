@@ -46,6 +46,17 @@ def karras_sigmas(n: int, sigma_min: float, sigma_max: float,
     return s.astype(np.float32)
 
 
+def restart_schedule(n: int, t_min: float, t_max: float) -> np.ndarray:
+    """The n-step Karras ladder from t_max down to t_min for one restart
+    repeat: n+1 strictly-descending sigmas (n model evaluations)."""
+    sched = karras_sigmas(n + 1, max(t_min, 1e-4), t_max)
+    if not np.all(np.diff(sched) < 0):
+        raise ValueError(
+            f"degenerate restart schedule for n={n}, t_min={t_min}, t_max={t_max}"
+        )
+    return sched
+
+
 def default_segments(sigmas, *, n_restarts: int = 1, segment_steps: int = 4,
                      k_repeats: int = 2) -> tuple[RestartSegment, ...]:
     """Place restarts at the geometric midpoints of the schedule."""
@@ -90,7 +101,7 @@ def sample_restart(
         noise_fn, noise_state = make_noise_sampler(
             custom_noise, x.shape, dtype=x.dtype,
             sigma_min=sigma_min_all, sigma_max=sigma_max_all,
-            seed=derive_key(key, "restart"), normalized=True)
+            seed=derive_key(key, "restart"), normalized=True, ref_latent=x)
 
     def draw(state, t0, t1, idx):
         if noise_fn is None:
@@ -102,11 +113,20 @@ def sample_restart(
             )
         return noise_fn(state, jnp.asarray(t0), jnp.asarray(t1))
 
-    # split the base schedule at segment boundaries
+    # Every inner() call gets its own derived seed so the noise streams of
+    # the base segments and each restart repeat are independent.
+    inner_calls = 0
+
+    def run_inner(cur, sched):
+        nonlocal inner_calls
+        inner_calls += 1
+        return inner(model, cur, jnp.asarray(sched),
+                     seed=derive_key(key, "inner", inner_calls),
+                     **sampler_kwargs)
+
+    # base pass over the full schedule, interrupted at each segment t_min
     cur = x
     draw_idx = 0
-    # base pass over the full schedule, interrupted at each segment t_min
-    boundaries = [sg.t_min for sg in segments]
     sched = list(np.concatenate([sigmas]))
     start = 0
     for sg in segments:
@@ -117,22 +137,21 @@ def sample_restart(
         stop = idxs[0]
         seg_sched = np.asarray(sched[start : stop + 1], np.float32)
         if seg_sched.shape[0] >= 2:
-            cur = inner(model, cur, jnp.asarray(seg_sched), seed=seed,
-                        **sampler_kwargs)
+            cur = run_inner(cur, seg_sched)
         t_min = float(sched[stop])
         t_max = min(sg.t_max, sigma_max_all)
         jump_std = math.sqrt(max(t_max**2 - t_min**2, 0.0))
-        restart_sched = np.concatenate([
-            karras_sigmas(sg.n, max(t_min, 1e-4), t_max), [t_min]
-        ]).astype(np.float32)
+        restart_sched = restart_schedule(sg.n, t_min, t_max)
         for _rep in range(sg.k):
-            noise, noise_state = draw(noise_state, t_min, t_max, draw_idx)
+            # (σ, σ′) = (t_max, t_min): the jump noise belongs to the top of
+            # the restart segment; an ascending pair would NaN items that
+            # take an ancestral step from the sigmas (e.g. ModulatedNoise).
+            noise, noise_state = draw(noise_state, t_max, t_min, draw_idx)
             draw_idx += 1
             cur = cur + noise * (s_noise * jump_std)
-            cur = inner(model, cur, jnp.asarray(restart_sched), seed=seed,
-                        **sampler_kwargs)
+            cur = run_inner(cur, restart_sched)
         start = stop
     tail = np.asarray(sched[start:], np.float32)
     if tail.shape[0] >= 2:
-        cur = inner(model, cur, jnp.asarray(tail), seed=seed, **sampler_kwargs)
+        cur = run_inner(cur, tail)
     return cur

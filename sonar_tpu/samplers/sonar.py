@@ -81,6 +81,7 @@ def _setup(
                 sigma_max=sigma_max,
                 seed=derive_key(key, "noise"),
                 normalized=True,
+                ref_latent=x,
             )
 
             def noise_fn(nstate, step, sigma, sigma_next):
@@ -98,7 +99,7 @@ def _setup(
         ri_item = get_noise_item(cfg.rand_init_noise_type)
         ri_fn, ri_state = make_noise_sampler(
             ri_item, x.shape, dtype=x.dtype, seed=derive_key(key, "rand_init"),
-            normalized=True,
+            normalized=True, ref_latent=x,
         )
         rand_init, _ = ri_fn(ri_state, None, None)
 
