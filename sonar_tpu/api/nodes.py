@@ -89,13 +89,23 @@ def register_node(name: str):
     return deco
 
 
-def build(node_name: str, **params):
-    """Build a framework object from a reference node name + widget values."""
+def build(node_name: str, *, _validate: bool = True, **params):
+    """Build a framework object from a reference node name + widget values.
+
+    Parameters are validated against the reference node schemas
+    (sonar_tpu.api.schemas, generated from py/nodes/base_inputtypes.py
+    surfaces): unknown names, enum violations, and out-of-range numerics
+    raise ValueError. Pass ``_validate=False`` to bypass (power users only).
+    """
     try:
         fn = NODES[node_name]
     except KeyError:
         valid = ", ".join(sorted(NODES))
         raise ValueError(f"Unknown node {node_name!r}; valid: {valid}") from None
+    if _validate:
+        from .validate import validate_params
+
+        params = validate_params(node_name, params)
     return fn(**params)
 
 
@@ -431,13 +441,15 @@ def blended(*, factor=1.0, rescale=0.0, sonar_custom_noise_opt=None, normalize=N
 
 @register_node("SonarResizedNoise")
 def resized(*, factor=1.0, width=1152, height=1152, custom_noise,
+            downscale_strategy="crop", initial_reference="prefer_crop",
             crop_offset_horizontal=0, crop_offset_vertical=0, crop_mode="center",
             upscale_mode="bilinear", downscale_mode="bilinear", normalize=None):
     # fixed absolute mode with 8x spatial compression (noise_filters.py:460-567)
     return _chain(
         ResizedNoise(factor, custom_noise=custom_noise.clone(), width=width,
                      height=height, spatial_mode="absolute", spatial_compression=8,
-                     downscale_strategy="crop", initial_reference="prefer_crop",
+                     downscale_strategy=downscale_strategy,
+                     initial_reference=initial_reference,
                      crop_offset_horizontal=crop_offset_horizontal,
                      crop_offset_vertical=crop_offset_vertical,
                      crop_mode=crop_mode, upscale_mode=upscale_mode,
@@ -528,27 +540,36 @@ def scatternet_filtered(*, factor=1.0, custom_noise=None, normalize=None,
 
 
 @register_node("SonarRippleFilteredNoise")
-def ripple_filtered(*, factor=1.0, custom_noise, normalize=None,
+def ripple_filtered(*, factor=1.0, rescale=0.0, custom_noise,
+                    sonar_custom_noise_opt=None, normalize=None,
                     normalize_noise=False, **kwargs):
     return _chain(
         RippleFilteredNoise(factor, noise=custom_noise.clone(),
                             normalize=tristate(normalize),
                             normalize_noise=bool(tristate(normalize_noise)),
                             **kwargs),
-        factor)
+        factor, rescale, sonar_custom_noise_opt)
 
 
 @register_node("SonarNormalizeNoiseToScale")
 def normalize_to_scale_node(*, factor=1.0, rescale=0.0, custom_noise,
                             sonar_custom_noise_opt=None, dims="-3, -2, -1",
+                            std_dims="-3, -2, -1", mean_dims="-3, -2, -1",
                             normalize=None, normalize_noise=False, **kwargs):
     if isinstance(dims, str):
         dims = () if not dims.strip() else tuple(int(i) for i in dims.split(","))
-    # reference quirk: the same dims feed std_dims and mean_dims
-    # (py/nodes/noise_filters.py:1267-1275)
+    # reference quirk (py/nodes/noise_filters.py:1267-1275): std_dims and
+    # mean_dims gate on their OWN emptiness but always split `dims` — their
+    # parsed content can never differ from dims.
+    def _quirk(v):
+        empty = (v is None or v == ()
+                 or (isinstance(v, str) and not v.strip()))
+        return None if empty else (dims or None)
+
     return _chain(
         NormalizeToScaleNoise(factor, noise=custom_noise.clone(), dims=dims,
-                              std_dims=dims or None, mean_dims=dims or None,
+                              std_dims=_quirk(std_dims),
+                              mean_dims=_quirk(mean_dims),
                               normalize=tristate(normalize),
                               normalize_noise=bool(tristate(normalize_noise)),
                               **kwargs),
@@ -556,14 +577,15 @@ def normalize_to_scale_node(*, factor=1.0, rescale=0.0, custom_noise,
 
 
 @register_node("SonarPerDimNoise")
-def per_dim(*, factor=1.0, custom_noise, dim=0, offset=0, chunk_size=1,
-            shrink_dim=True, normalize=None, normalize_noise=False):
+def per_dim(*, factor=1.0, rescale=0.0, custom_noise, sonar_custom_noise_opt=None,
+            dim=0, offset=0, chunk_size=1, shrink_dim=False, normalize=None,
+            normalize_noise=False):
     return _chain(
         PerDimNoise(factor, noise=custom_noise.clone(), dim=dim, offset=offset,
                     chunk_size=chunk_size, shrink_dim=shrink_dim,
                     normalize=tristate(normalize),
                     normalize_noise=bool(tristate(normalize_noise))),
-        factor)
+        factor, rescale, sonar_custom_noise_opt)
 
 
 @register_node("SonarLatentOperationFilteredNoise")
@@ -647,8 +669,10 @@ def preview_filter(*, sonar_power_filter, size=None, preview_size="128x128",
 
 
 @register_node("SonarLatentOperationQuantileFilter")
-def latent_op_quantile(**kwargs):
-    return SonarLatentOperationQuantileFilter(**kwargs)
+def latent_op_quantile(*, dim="1", norm_factor=1.0, norm_power=0.5, **kwargs):
+    return SonarLatentOperationQuantileFilter(
+        dim=_QUANTILE_DIM_MAP.get(str(dim), 1), nq_fac=norm_factor,
+        pow_fac=norm_power, **kwargs)
 
 
 @register_node("SonarLatentOperationAdvanced")
@@ -854,18 +878,50 @@ def blend_filter_noise(*, factor=1.0, sonar_custom_noise, blend_mode="simple_add
         factor)
 
 
+def _parse_restart_segments(segments):
+    """Parse the restart_sampling segment mini-language: a comma-separated
+    list of ``[n, k, t_min, t_max]`` brackets (or the literal "default")."""
+    from ..samplers.restart import RestartSegment
+
+    if segments is None or (isinstance(segments, str)
+                            and segments.strip().lower() in ("", "default")):
+        return None
+    if isinstance(segments, str):
+        import ast
+
+        parsed = ast.literal_eval(f"[{segments.strip()}]")
+        return tuple(
+            RestartSegment(n=int(n), k=int(k), t_min=float(t_min),
+                           t_max=float(t_max))
+            for n, k, t_min, t_max in parsed
+        )
+    return tuple(segments)
+
+
 def _restart_builder(**kwargs):
     from functools import partial
 
     from ..samplers.restart import sample_restart
 
-    custom_noise = kwargs.pop("custom_noise", None) or kwargs.pop(
-        "sonar_custom_noise", None)
+    custom_noise = kwargs.pop("custom_noise_opt", None) or kwargs.pop(
+        "custom_noise", None) or kwargs.pop("sonar_custom_noise", None)
     inner = kwargs.pop("sampler", None)
     if isinstance(inner, str):
         from .functions import get_sampler
 
         inner = get_sampler(inner)
+    kwargs.setdefault("seed", kwargs.pop("noise_seed", None))
+    segments = _parse_restart_segments(kwargs.pop("segments", None))
+    if segments is not None:
+        kwargs["segments"] = segments
+    # ComfyUI-pipeline-level inputs the reference node consumes before the
+    # sampler runs (model/conds/schedule construction and chunked preview
+    # batching); the returned callable here takes (model, x, sigmas) directly.
+    for pipeline_only in ("model", "add_noise", "steps", "cfg", "positive",
+                          "negative", "latent_image", "start_at_step",
+                          "end_at_step", "return_with_leftover_noise",
+                          "chunked_mode", "scheduler", "restart_scheduler"):
+        kwargs.pop(pipeline_only, None)
     return partial(sample_restart, custom_noise=custom_noise,
                    inner_sampler=inner, **kwargs)
 
