@@ -134,13 +134,113 @@ def bench_sampler_b8(steps: int = 20):
     return bench_sampler_steps_per_sec(steps=steps, shape=(8, 4, 64, 64)) * 8
 
 
+# ---------------------------------------------------------------------------
+# BASELINE config 3 at SDXL scale (VERDICT r1 item 1): sonar_dpmpp_sde
+# 30-step + scheduled time-brownian power noise + db4-L3 wavelet CFG vs plain
+# Euler + basic CFG, on an SDXL-class UNet (model_channels=320,
+# channel_mult=(1,2,4,4), 664M params) at the 4x128x128 latent. Reported
+# per *model call* (steps × solver stages; each call runs cond+uncond), the
+# normalization established in round 1.
+# ---------------------------------------------------------------------------
+
+_SDXL_STEPS = 30
+_SDXL_SHAPE = (1, 4, 128, 128)
+
+
+def _sdxl_setup():
+    import jax
+
+    from sonar_tpu.cfg import DiscreteSampling
+    from sonar_tpu.models import UNetConfig, init_unet_params, unet_apply
+
+    cfg = UNetConfig(model_channels=320, channel_mult=(1, 2, 4, 4),
+                     num_res_blocks=2, attention_levels=(2, 3), num_heads=8,
+                     norm_groups=32)
+    params = init_unet_params(jax.random.key(0), cfg)
+
+    # params arrive through the samplers' extra_args channel so they are jit
+    # ARGUMENTS, not captured constants (2.66GB of baked-in constants breaks
+    # the remote-compile transport).
+    def cond_model(x, sb, params=None, **kw):
+        s = sb.reshape(-1, 1, 1, 1)
+        c_in = 1.0 / jnp.sqrt(1.0 + s**2)
+        return x - s * unet_apply(params, x * c_in, sb, cfg)
+
+    def uncond_model(x, sb, params=None, **kw):
+        s = sb.reshape(-1, 1, 1, 1)
+        c_in = 1.0 / jnp.sqrt(1.0 + s**2)
+        return x - s * unet_apply(params, x * c_in * 0.97, sb, cfg)
+
+    ramp = jnp.linspace(0, 1, _SDXL_STEPS)
+    sigmas = (14.6 ** (1 / 7.0) + ramp * (0.03 ** (1 / 7.0)
+                                          - 14.6 ** (1 / 7.0))) ** 7.0
+    sigmas = jnp.concatenate([sigmas, jnp.zeros((1,))]).astype(jnp.float32)
+    x0 = jax.random.normal(jax.random.key(2), _SDXL_SHAPE, jnp.float32) * 14.6
+    return cond_model, uncond_model, DiscreteSampling(), sigmas, x0, params
+
+
+def _time_pipeline(pipe, params, x0, sigmas, stages: int) -> float:
+    """Per-model-call milliseconds for one full sampling run."""
+    import jax
+
+    run = jax.jit(lambda p, v: pipe(v, sigmas, extra_args={"params": p}))
+    dt = _timeit(run, params, x0, warmup=1, iters=2)
+    return dt * 1000.0 / (_SDXL_STEPS * stages)
+
+
+def bench_sdxl_euler_per_call_ms() -> float:
+    """Plain Euler + basic CFG on the SDXL-class UNet (the baseline side)."""
+    from sonar_tpu.api import SonarPipeline
+    from sonar_tpu.samplers import SonarConfig
+
+    cond, uncond, ms, sigmas, x0, params = _sdxl_setup()
+    pipe = SonarPipeline(model=cond, model_uncond=uncond, sampler="sonar_euler",
+                         sonar_config=SonarConfig(momentum=1.0),
+                         cfg_scale=7.0, model_sampling=ms, seed=7)
+    return _time_pipeline(pipe, params, x0, sigmas, stages=1)
+
+
+def bench_sdxl_config3_per_call_ms() -> float:
+    """BASELINE config 3: dpmpp_sde + scheduled time-brownian power noise +
+    db4-L3 wavelet CFG (2 solver stages per step)."""
+    from sonar_tpu.api import SonarPipeline
+    from sonar_tpu.cfg import WaveletCFG, WCFGRules
+    from sonar_tpu.noise import ScheduledNoise, get_noise_item
+    from sonar_tpu.noise.power import PowerNoiseItem
+    from sonar_tpu.samplers import SonarConfig
+
+    cond, uncond, ms, sigmas, x0, params = _sdxl_setup()
+    noise = ScheduledNoise(
+        noise=PowerNoiseItem(alpha=0.5, min_freq=0.05, time_brownian=True),
+        start_sigma=14.7, end_sigma=0.3,
+        fallback_noise=get_noise_item("gaussian"))
+    rules = WCFGRules.build(
+        wave="db4", level=3, padding_mode="periodization",
+        high_precision_mode=False,
+        diff=dict(yl_scale=8.0, yh_scales=[7.0, [6.0, 6.0, 7.0], "fill"],
+                  scales_end=dict(yl_scale=6.0, yh_scales=6.0),
+                  schedule="half_cosine", schedule_mode="sampling"))
+    pipe = SonarPipeline(model=cond, model_uncond=uncond,
+                         sampler="sonar_dpmpp_sde",
+                         sonar_config=SonarConfig(momentum=0.95),
+                         noise=noise, cfg_scale=7.0,
+                         wavelet_cfg=WaveletCFG(rules=rules),
+                         model_sampling=ms, seed=7)
+    return _time_pipeline(pipe, params, x0, sigmas, stages=2)
+
+
 _SINGLE = {
     "sampler": bench_sampler_steps_per_sec,
     "sampler_b8": bench_sampler_b8,
     "noise": bench_noise_mpix_per_sec,
     "power": bench_power_noise_mpix,
     "anchor": bench_torch_cpu_anchor,
+    "sdxl_euler": bench_sdxl_euler_per_call_ms,
+    "sdxl_config3": bench_sdxl_config3_per_call_ms,
 }
+
+# the SDXL-scale runs compile a 664M-param UNet through the TPU tunnel
+_TIMEOUTS = {"sdxl_euler": 1800, "sdxl_config3": 1800}
 
 
 def _run_isolated(name: str) -> float:
@@ -161,7 +261,8 @@ def _run_isolated(name: str) -> float:
     try:
         out = subprocess.run(
             [sys.executable, __file__, "--single", name],
-            capture_output=True, text=True, timeout=560, check=True, env=env,
+            capture_output=True, text=True, timeout=_TIMEOUTS.get(name, 560),
+            check=True, env=env,
         )
         return float(out.stdout.strip().splitlines()[-1])
     except Exception:
@@ -179,6 +280,9 @@ def main():
     mpix = _run_isolated("noise")
     power_mpix = _run_isolated("power")
     anchor = _run_isolated("anchor")
+    sdxl_euler = _run_isolated("sdxl_euler")
+    sdxl_config3 = _run_isolated("sdxl_config3")
+    overhead_pct = (sdxl_config3 - sdxl_euler) / sdxl_euler * 100.0
     print(
         json.dumps(
             {
@@ -193,6 +297,11 @@ def main():
                     "noise_power_mpix_per_sec": round(power_mpix, 3),
                     "torch_cpu_anchor_mpix_per_sec": round(anchor, 3),
                     "vs_baseline_is": "pyramid-noise Mpix/s vs torch-CPU anchor",
+                    # BASELINE config 3 measured at SDXL scale (664M-param
+                    # UNet, 4x128x128, 30 steps), per model call; target <5%
+                    "sdxl_euler_per_call_ms": round(sdxl_euler, 3),
+                    "sdxl_config3_per_call_ms": round(sdxl_config3, 3),
+                    "config3_overhead_pct": round(overhead_pct, 2),
                     "backend": jax.default_backend(),
                 },
             }

@@ -32,7 +32,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .coeffs import WaveletFilters, _orthogonal_bank, get_wavelet
+from .coeffs import WaveletFilters, _orthogonal_bank
 
 
 # ---------------------------------------------------------------------------
@@ -96,7 +96,7 @@ def qshift_filter(length: int = 10) -> np.ndarray:
 
 
 @functools.lru_cache(maxsize=None)
-def qshift_banks(length: int = 10) -> tuple[WaveletFilters, WaveletFilters]:
+def qshift_banks(length: int = 12) -> tuple[WaveletFilters, WaveletFilters]:
     """(tree_a, tree_b) orthonormal banks; tree b = time-reversed tree a.
     The designed filter is renormalized to the Σh = √2 / ‖h‖ = 1 convention
     the filter-bank kernels assume."""
@@ -114,12 +114,63 @@ def qshift_banks(length: int = 10) -> tuple[WaveletFilters, WaveletFilters]:
     return tree_a, tree_b
 
 
+# ---------------------------------------------------------------------------
+# Near-symmetric level-1 biorthogonal pair, designed in-repo
+# (tools/design_nearsym.py). With the one-sample-roll level-1 scheme, ANY
+# orthonormal bank has a hard level-1 one-sidedness ceiling of
+# 1/2 + 1/pi ~= 0.8183 (the |1 + j e^{-jw}|^2 = 2(1+sin w) roll factor
+# integrated against a halfband |H1|^2). Beating it requires a biorthogonal
+# pair whose ANALYSIS wavelet concentrates near w = pi/2 — the "near-sym"
+# idea. This (13, 17)-tap pair was designed by constrained optimization
+# (PR-halfband equality constraints; objective = level-1 analyticity +
+# level-2 cascade analyticity + lowpass quality of both filters), reaching
+# level-1 one-sidedness 0.941 with exact PR. No reference/Kingsbury
+# coefficient tables were used.
+# ---------------------------------------------------------------------------
+
+_NEARSYM_H0 = np.array([  # analysis lowpass, 13 taps, symmetric
+    0.02086858978935197, 0.05161814280931655, -0.04900413218788433,
+    -0.18047282838505307, 0.09841321468146728, 0.4756072009396571,
+    0.5801531870793837, 0.4756072009396571, 0.09841321468146728,
+    -0.18047282838505307, -0.04900413218788433, 0.05161814280931655,
+    0.02086858978935197,
+])
+_NEARSYM_G0 = np.array([  # synthesis lowpass, 17 taps, symmetric
+    0.0, 0.08947134751275738, -0.2213060316903645, -0.09614112025933057,
+    0.4918810179857031, -0.01761700970737806, -0.6282685810788478,
+    0.37784017304724177, 1.4224939707535285, 0.37784017304724177,
+    -0.6282685810788478, -0.01761700970737806, 0.4918810179857031,
+    -0.09614112025933057, -0.2213060316903645, 0.08947134751275738, 0.0,
+])
+
+
+@functools.lru_cache(maxsize=None)
+def near_sym_bank() -> WaveletFilters:
+    """Assemble the near-sym (13,17) pair into the filter-bank convention the
+    periodization kernels expect (offsets/parities found by direct search
+    against the JAX analysis/synthesis round trip; PR error ~3e-7 fp32)."""
+    h0 = _NEARSYM_H0 * (np.sqrt(2.0) / _NEARSYM_H0.sum())
+    g0 = _NEARSYM_G0 * (np.sqrt(2.0) / _NEARSYM_G0.sum())
+    L = 18
+
+    def pad(f, off):
+        return np.concatenate([np.zeros(off), f, np.zeros(L - len(f) - off)])
+
+    dl, rl = pad(h0, 2), pad(g0, 1)
+    dh = rl.copy()
+    dh[0::2] *= -1
+    rh = dl.copy()
+    rh[1::2] *= -1
+    return WaveletFilters("near_sym_native", dl, dh, rl, rh)
+
+
 def _level1_banks() -> tuple[WaveletFilters, WaveletFilters]:
     """Level-1: same bank in both trees (tree b applied to a one-sample-
-    rolled signal — the standard level-1 dual-tree trick). db4 measures the
-    best level-1 one-sidedness (0.82) of our banks; levels ≥2 reach
-    0.95-0.97 via the designed q-shift pair."""
-    w = get_wavelet("db4")
+    rolled signal — the standard level-1 dual-tree trick). The designed
+    near-sym pair reaches level-1 one-sidedness 0.941 (vs the 0.8183
+    structural ceiling of any orthonormal bank); levels ≥2 reach 0.96-0.98
+    via the designed q-shift pair."""
+    w = near_sym_bank()
     return w, w
 
 

@@ -59,8 +59,38 @@ def test_dtcwt_orientation_discrimination():
     assert em[3:].sum() / em.sum() > 0.95
 
 
+def test_level1_one_sidedness_beats_orthonormal_ceiling():
+    """Any orthonormal bank under the one-sample-roll level-1 scheme is
+    capped at 1/2 + 1/pi ≈ 0.8183 one-sidedness; the designed near-sym
+    biorthogonal pair must clearly beat it (≥ 0.93)."""
+    import numpy.fft as fft
+
+    from sonar_tpu.wavelets.dtcwt import near_sym_bank
+
+    bank = near_sym_bank()
+    h1 = bank.dec_hi[::-1]
+    N = 8192
+    w = np.fft.fftfreq(N) * 2 * np.pi
+    S = np.abs(fft.fft(h1, N) * (1 + 1j * np.exp(-1j * w))) ** 2
+    pos, neg = S[1 : N // 2].sum(), S[N // 2 + 1 :].sum()
+    assert max(pos, neg) / (pos + neg) > 0.93
+
+
+def test_near_sym_bank_is_pr():
+    from sonar_tpu.wavelets.dtcwt import near_sym_bank
+    from sonar_tpu.wavelets.dwt import _afb1d, _sfb1d
+
+    b = near_sym_bank()
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((1, 1, 32)),
+                    jnp.float32)
+    lo, hi = _afb1d(x, b.dec_lo, b.dec_hi, "periodization")
+    rec = _sfb1d(lo, hi, b.rec_lo, b.rec_hi, "periodization", 32)
+    assert float(jnp.abs(rec - x).max()) < 1e-5
+
+
 def test_dtcwt_cascade_one_sidedness():
-    """Level-2/3 equivalent complex wavelets must be ≥90% one-sided."""
+    """Level-2/3 equivalent complex wavelets must be ≥94% one-sided
+    (near-sym level 1 + the L=12 q-shift pair measure 0.96 / 0.976)."""
     import numpy.fft as fft
 
     qa, qb = qshift_banks()
@@ -83,7 +113,7 @@ def test_dtcwt_cascade_one_sidedness():
     pa = np.pad(pa, (0, L - len(pa)))
     pb = np.pad(pb, (0, L - len(pb)))
     S = np.abs(fft.fft(pa + 1j * pb, 8192)) ** 2
-    assert max(S[:4096].sum(), S[4096:].sum()) / S.sum() > 0.90
+    assert max(S[:4096].sum(), S[4096:].sum()) / S.sum() > 0.94
 
 
 def test_dtcwt_shift_invariance_beats_dwt():
