@@ -242,6 +242,11 @@ _SINGLE = {
 # the SDXL-scale runs compile a 664M-param UNet through the TPU tunnel
 _TIMEOUTS = {"sdxl_euler": 1800, "sdxl_config3": 1800}
 
+# per-metric env overrides (noise_hw = the pyramid metric with the
+# hardware-PRNG Pallas kernel enabled — profiles/ANALYSIS.md §1)
+_METRIC_ENV = {"noise_hw": {"SONAR_TPU_HW_RNG": "1"}}
+_SINGLE["noise_hw"] = bench_noise_mpix_per_sec
+
 
 def _run_isolated(name: str) -> float:
     """Run one benchmark in a fresh subprocess.
@@ -258,6 +263,7 @@ def _run_isolated(name: str) -> float:
     # persistent XLA compilation cache: repeat bench runs (and the metrics
     # sharing programs) skip the multi-minute TPU compiles
     env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/sonar_jax_cache")
+    env.update(_METRIC_ENV.get(name, {}))
     try:
         out = subprocess.run(
             [sys.executable, __file__, "--single", name],
@@ -278,6 +284,7 @@ def main():
     steps_per_sec = _run_isolated("sampler")
     b8 = _run_isolated("sampler_b8")
     mpix = _run_isolated("noise")
+    mpix_hw = _run_isolated("noise_hw")
     power_mpix = _run_isolated("power")
     anchor = _run_isolated("anchor")
     sdxl_euler = _run_isolated("sdxl_euler")
@@ -294,6 +301,7 @@ def main():
                     "per_step_ms_p50": round(1000.0 / steps_per_sec, 3),
                     "batch8_latent_steps_per_sec": round(b8, 3),
                     "noise_pyramid_mpix_per_sec": round(mpix, 3),
+                    "noise_pyramid_hw_rng_mpix_per_sec": round(mpix_hw, 3),
                     "noise_power_mpix_per_sec": round(power_mpix, 3),
                     "torch_cpu_anchor_mpix_per_sec": round(anchor, 3),
                     "vs_baseline_is": "pyramid-noise Mpix/s vs torch-CPU anchor",

@@ -70,10 +70,19 @@ class Generator(NoiseItem):
 
     # -- helpers -------------------------------------------------------------
     def randn(self, ctx: NoiseCtx, key, shape=None, dtype=None):
-        return jax.random.normal(
-            key, tuple(shape) if shape is not None else ctx.adjusted_shape(),
-            dtype or ctx.dtype,
-        )
+        shape = tuple(shape) if shape is not None else ctx.adjusted_shape()
+        dtype = dtype or ctx.dtype
+        from ..kernels.hwrng import use_hw_rng
+
+        if use_hw_rng():
+            # opt-in TPU hardware-PRNG path (1.2x the threefry software
+            # PRNG on pure generation; kernels/hwrng.py) — a different but
+            # deterministic stream, so OFF by default (reproducibility with
+            # the CPU path is an architecture invariant).
+            from ..kernels.hwrng import hw_randn
+
+            return hw_randn(key, shape, dtype)
+        return jax.random.normal(key, shape, dtype)
 
     def rand(self, ctx: NoiseCtx, key, shape=None, dtype=None):
         return jax.random.uniform(
