@@ -7,10 +7,11 @@ whose 6 oriented complex highpasses become smooth magnitudes
 (``sqrt(x² + b²) − b``), stacked with the lowpass → channels ×7, spatial ÷2
 per order. Both backends are available here:
 
-- ``wavelet_backend="dtcwt"`` — the native dual-tree transform
+- ``wavelet_backend="dtcwt"`` (default) — the native dual-tree transform
   (sonar_tpu.wavelets.dtcwt): lowpass + 6 oriented magnitudes, ×7
-  channels/order — full ScatLayer semantics;
-- ``wavelet_backend="dwt"`` (default) — a cheaper real-DWT scatter layer:
+  channels/order — full ScatLayer semantics (on-chip cost is equal to the
+  dwt backend within measurement noise; profiles/ANALYSIS.md methodology);
+- ``wavelet_backend="dwt"`` — a cheaper real-DWT scatter layer:
   lowpass + 3 oriented magnitudes, ×4 channels/order.
 
 The orchestration (output_mode channels/flat ×(adjusted/scaled),
@@ -82,7 +83,7 @@ class ScatternetFilteredGenerator(Generator):
             "biort": "near_sym_a",
             "qshift": "qshift_a",
             "wave": "db2",
-            "wavelet_backend": "dwt",
+            "wavelet_backend": "dtcwt",
             "output_offset": 0.0,
             "scatternet_order": 1,
             "per_channel_scatternet": False,
