@@ -29,6 +29,20 @@ def _timeit(fn, *args, warmup=2, iters=10):
     return (time.perf_counter() - t0) / iters
 
 
+def _timeit_min(fn, *args, warmup=1, reps=8):
+    """Min-of-reps timing: the TPU tunnel adds large, one-sided latency
+    noise to sub-millisecond executions (CLAUDE.md), and the minimum is the
+    standard robust statistic against one-sided contamination."""
+    for _ in range(warmup):
+        jax.block_until_ready(fn(*args))
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn(*args))
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
 def bench_sampler_steps_per_sec(steps: int = 20, shape=(1, 4, 64, 64)) -> float:
     from sonar_tpu.models import UNetConfig, init_unet_params, make_denoiser
     from sonar_tpu.samplers.sonar import sample_sonar_euler_ancestral
@@ -69,7 +83,7 @@ def bench_noise_mpix_per_sec(shape=(1, 4, 128, 128), iters=50) -> float:
         st, stacked = jax.lax.scan(body, state, None, length=iters)
         return stacked
 
-    dt = _timeit(draw_many, state0, warmup=1, iters=3)
+    dt = _timeit_min(draw_many, state0, warmup=1, reps=8)
     npix = 1
     for d in shape:
         npix *= d
@@ -122,7 +136,7 @@ def bench_power_noise_mpix(shape=(1, 4, 128, 128), iters=50) -> float:
 
         return jax.lax.scan(body, state, None, length=iters)[1]
 
-    dt = _timeit(draw_many, state0, warmup=1, iters=3)
+    dt = _timeit_min(draw_many, state0, warmup=1, reps=8)
     npix = 1
     for d in shape:
         npix *= d
