@@ -219,7 +219,14 @@ def get_momentum_denoised(cfg: SonarConfig, state, x, denoised, sigma, *, step,
 
 def get_momentum_d(cfg: SonarConfig, state, x, denoised, sigma, *, step,
                    momentum=None, d=None, update_history: bool = True, rand_init=None):
-    """py/sonar.py:285-307 → (momentum_d, new_state)."""
+    """py/sonar.py:285-307 → (momentum_d, new_state).
+
+    Reference quirk preserved: the ``momentum`` argument only gates the
+    momentum==1 early-out — the actual mix always uses ``cfg.momentum``
+    (py/sonar.py:303 calls momentum_mix WITHOUT forwarding it), so DPM++
+    SDE's halved momentum never reaches the blend. Verified against the
+    live reference in test_reference_sampler_oracle.py.
+    """
     momentum = cfg.momentum if momentum is None else momentum
     mode = cfg.momentum_mode
     d = to_d(x, sigma, denoised) if d is None else d
@@ -227,7 +234,7 @@ def get_momentum_d(cfg: SonarConfig, state, x, denoised, sigma, *, step,
         mode == MomentumMode.DENOISED
     ):
         return d, state
-    momentum_d = momentum_mix(cfg, state, d, sigma, is_denoised=False, momentum=momentum)
+    momentum_d = momentum_mix(cfg, state, d, sigma, is_denoised=False)
     if update_history:
         state = _init_hist(cfg, state, x, denoised, sigma, step, rand_init)
         state = _update_hist(

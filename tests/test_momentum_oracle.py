@@ -172,7 +172,10 @@ class NpDpmppSde(NpSonar):
         if adjusted == 1 or self.mode == "denoised":
             momentum_d = diff_2
         else:
-            momentum_d = self.mix_with(diff_2, adjusted)
+            # reference quirk: the mix uses cfg.momentum, NOT the halved
+            # value — the adjusted momentum only gates the early-out
+            # (py/sonar.py:303; verified in test_reference_sampler_oracle)
+            momentum_d = self.mix_with(diff_2, self.m)
             self.update_hist(diff_2 if self.mode == "new" else momentum_d, i)
             if not self.check(i):
                 momentum_d = diff_2
@@ -188,7 +191,7 @@ class NpDpmppSde(NpSonar):
         if adjusted == 1 or self.mode == "denoised":
             momentum_d = diff_1
         else:
-            momentum_d = self.mix_with(diff_1, adjusted)
+            momentum_d = self.mix_with(diff_1, self.m)
             self.update_hist(diff_1 if self.mode == "new" else momentum_d, i)
             if not self.check(i):
                 momentum_d = diff_1
