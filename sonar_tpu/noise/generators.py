@@ -571,10 +571,14 @@ class PowerLawGenerator(Generator):
 
 
 class LaplacianGenerator(Generator):
-    """randn/div_fac + Laplace(loc, scale) (py/noise_generation.py:789-802)."""
+    """randn/div_fac + Laplace(loc, scale) (py/noise_generation.py:789-802).
+
+    Unlike gaussian/uniform/studentt, the reference's Laplacian does NOT
+    override the base normalized=True default — its internal hook
+    normalizes (verified against the live reference in
+    test_reference_noise_stats_oracle.py)."""
 
     name = "laplacian"
-    DEFAULT_NORMALIZED = False
 
     @classmethod
     def ng_params(cls):

@@ -54,6 +54,11 @@ class VoronoiGenerator(Generator):
     name = "voronoi"
     MIN_DIMS = 4
     MAX_DIMS = 4
+    # the reference's VoronoiNoiseGenerator overrides the base default to
+    # normalized=False (py/noise_generation.py:1352): raw distance fields
+    # keep their natural scale inside compositions (e.g. voronoi_mix sums
+    # RAW voronoi x0.6 + raw gaussian x0.4 and normalizes once at the wrap)
+    DEFAULT_NORMALIZED = False
 
     @classmethod
     def ng_params(cls):

@@ -64,7 +64,14 @@ def load_reference():
             return F.interpolate(samples, size=(height, width), mode=mode,
                                  **kwargs)
 
-        _stub("comfy.utils", common_upscale=_common_upscale)
+        def _repeat_to_batch_size(t, batch_size):
+            if t.shape[0] >= batch_size:
+                return t[:batch_size]
+            reps = -(-batch_size // t.shape[0])
+            return t.repeat((reps,) + (1,) * (t.ndim - 1))[:batch_size]
+
+        _stub("comfy.utils", common_upscale=_common_upscale,
+              repeat_to_batch_size=_repeat_to_batch_size)
 
         class _KSampler:
             SAMPLERS = ["euler", "euler_ancestral", "dpmpp_sde"]
