@@ -16,6 +16,7 @@ from .functions import (  # noqa: F401
     sampler_config_override,
     split_noise_chain,
 )
+from . import extensions  # noqa: F401
 from .guider import make_latent_op_cfg_function  # noqa: F401
 from .nodes import NODES, build, register_node, tristate  # noqa: F401
 from .pipeline import SonarPipeline  # noqa: F401

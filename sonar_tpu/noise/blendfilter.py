@@ -109,20 +109,42 @@ def enhance_tensor(t: jax.Array, name: str, scale: float = 1.0, *,
     name = name.lower()
     if name in ("none", ""):
         return t
-    if name in ("blur", "gaussianblur"):
-        return t + (_sep_blur(t) - t) * scale
-    if name in ("sharpen", "unsharp"):
-        return t + (t - _sep_blur(t)) * scale
-    if name == "contrast":
-        mean = jnp.mean(t, axis=(-2, -1), keepdims=True)
-        return mean + (t - mean) * (1.0 + scale)
-    if name == "saturate":
-        mean = jnp.mean(t, axis=-3, keepdims=True)
-        return mean + (t - mean) * (1.0 + scale)
-    raise ValueError(f"Unknown enhance mode {name!r}")
+    handler = ENHANCE_HANDLERS.get(name)
+    if handler is None:
+        valid = ", ".join(sorted(ENHANCE_HANDLERS))
+        raise ValueError(f"Unknown enhance mode {name!r}; valid: {valid}")
+    return handler(t, scale, sigma=sigma)
 
 
-_ENHANCE_MODES = ("none", "blur", "sharpen", "contrast", "saturate")
+def _enh_blur(t, scale, **_kw):
+    return t + (_sep_blur(t) - t) * scale
+
+
+def _enh_sharpen(t, scale, **_kw):
+    return t + (t - _sep_blur(t)) * scale
+
+
+def _enh_contrast(t, scale, **_kw):
+    mean = jnp.mean(t, axis=(-2, -1), keepdims=True)
+    return mean + (t - mean) * (1.0 + scale)
+
+
+def _enh_saturate(t, scale, **_kw):
+    mean = jnp.mean(t, axis=-3, keepdims=True)
+    return mean + (t - mean) * (1.0 + scale)
+
+
+# extensible enhancement registry (sonar_tpu.api.extensions registers here)
+ENHANCE_HANDLERS = {
+    "blur": _enh_blur,
+    "gaussianblur": _enh_blur,
+    "sharpen": _enh_sharpen,
+    "unsharp": _enh_sharpen,
+    "contrast": _enh_contrast,
+    "saturate": _enh_saturate,
+}
+
+_ENHANCE_MODES = ("none", *ENHANCE_HANDLERS)
 
 
 class BlendFilterNoise(MultiChildNoise):
