@@ -148,6 +148,50 @@ def bench_sampler_b8(steps: int = 20):
     return bench_sampler_steps_per_sec(steps=steps, shape=(8, 4, 64, 64)) * 8
 
 
+def bench_hw_rng_speedup(shape=(1, 4, 128, 128), iters=50, reps=8) -> float:
+    """Hardware-PRNG vs threefry pyramid ratio, measured INTERLEAVED in one
+    process: the tunnel has long degraded phases that poison even min-of-N
+    in a single subprocess, but alternating reps see the same phase, so the
+    ratio stays meaningful (profiles/ANALYSIS.md)."""
+    import os
+
+    from sonar_tpu.noise.base import make_noise_sampler
+    from sonar_tpu.noise.presets import get_noise_item
+
+    def build_fn():
+        item = get_noise_item("pyramid")
+        fn, state0 = make_noise_sampler(item, shape, seed=3, sigma_min=0.03,
+                                        sigma_max=14.6)
+
+        @jax.jit
+        def draw_many(state):
+            def body(st, _):
+                noise, st = fn(st, jnp.asarray(1.0), jnp.asarray(0.9))
+                return st, noise
+
+            return jax.lax.scan(body, state, None, length=iters)[1]
+
+        return draw_many, state0
+
+    # the flag is read at trace time: trace each variant under its setting
+    os.environ["SONAR_TPU_HW_RNG"] = "0"
+    tf_fn, tf_st = build_fn()
+    jax.block_until_ready(tf_fn(tf_st))
+    os.environ["SONAR_TPU_HW_RNG"] = "1"
+    hw_fn, hw_st = build_fn()
+    jax.block_until_ready(hw_fn(hw_st))
+    os.environ["SONAR_TPU_HW_RNG"] = "0"
+    best_tf = best_hw = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        jax.block_until_ready(tf_fn(tf_st))
+        best_tf = min(best_tf, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        jax.block_until_ready(hw_fn(hw_st))
+        best_hw = min(best_hw, time.perf_counter() - t0)
+    return best_tf / best_hw
+
+
 # ---------------------------------------------------------------------------
 # BASELINE config 3 at SDXL scale (VERDICT r1 item 1): sonar_dpmpp_sde
 # 30-step + scheduled time-brownian power noise + db4-L3 wavelet CFG vs plain
@@ -260,6 +304,7 @@ _TIMEOUTS = {"sdxl_euler": 1800, "sdxl_config3": 1800}
 # hardware-PRNG Pallas kernel enabled — profiles/ANALYSIS.md §1)
 _METRIC_ENV = {"noise_hw": {"SONAR_TPU_HW_RNG": "1"}}
 _SINGLE["noise_hw"] = bench_noise_mpix_per_sec
+_SINGLE["hw_ab"] = bench_hw_rng_speedup
 
 
 def _run_isolated(name: str) -> float:
@@ -299,6 +344,7 @@ def main():
     b8 = _run_isolated("sampler_b8")
     mpix = _run_isolated("noise")
     mpix_hw = _run_isolated("noise_hw")
+    hw_ratio = _run_isolated("hw_ab")
     power_mpix = _run_isolated("power")
     anchor = _run_isolated("anchor")
     sdxl_euler = _run_isolated("sdxl_euler")
@@ -316,6 +362,9 @@ def main():
                     "batch8_latent_steps_per_sec": round(b8, 3),
                     "noise_pyramid_mpix_per_sec": round(mpix, 3),
                     "noise_pyramid_hw_rng_mpix_per_sec": round(mpix_hw, 3),
+                    # interleaved same-process A/B — robust to the tunnel's
+                    # degraded phases that poison cross-process comparisons
+                    "hw_rng_pyramid_speedup_ratio": round(hw_ratio, 4),
                     "noise_power_mpix_per_sec": round(power_mpix, 3),
                     "torch_cpu_anchor_mpix_per_sec": round(anchor, 3),
                     "vs_baseline_is": "pyramid-noise Mpix/s vs torch-CPU anchor",

@@ -1,20 +1,24 @@
-"""Hardware-PRNG gaussian noise (SURVEY §2.9 item: noise-path fusion).
+"""Hardware-PRNG gaussian noise (SURVEY §2.9 roofline experiment).
 
-JAX's default threefry PRNG is counter-based *software*: every random bit
-costs real VPU ALU work, and for noise-dominated paths (the reference
-generates noise every sampler step — py/sonar.py:561-566 — and pyramid
-ladders draw ~1.33x the latent per level set) the bit generation is the
-bottleneck, not HBM. TPUs have a hardware PRNG reachable only from Pallas
-(``pltpu.prng_seed`` / ``pltpu.prng_random_bits``); this kernel fuses
-hardware bit generation with a Box-Muller transform so N(0,1) samples are
-produced in one VMEM pass.
+JAX's default threefry PRNG is counter-based *software*; TPUs have a
+hardware PRNG reachable only from Pallas (``pltpu.prng_seed`` /
+``pltpu.prng_random_bits``). This kernel fuses hardware bit generation
+with a Box-Muller transform so N(0,1) samples are produced in one VMEM
+pass — eliminating the PRNG ALU cost entirely.
+
+Measured result (profiles/ANALYSIS.md §1): throughput is UNCHANGED vs
+``jax.random.normal`` (interleaved min-of-N ratios 0.87-1.22 across runs,
+both ~0.5 TB/s of HBM writes) — noise generation on v5e is memory-bound
+and XLA already hides the threefry compute behind the writes. The kernel
+stays as (a) experimental proof that the noise path is at its roofline and
+(b) the substrate for workloads where the balance shifts (e.g. sub-fp32
+noise with 2-4x less HBM traffic per element).
 
 Determinism: the stream is a pure function of (seed, shape) on TPU — each
 grid block reseeds with (seed, block_index), so the same call always
 produces the same tensor. It is a DIFFERENT stream than threefry, so this
-is an opt-in serving-mode accelerator (``SONAR_TPU_HW_RNG=1``), not the
-default: bit-reproducibility with the CPU path is an architecture invariant
-(core/rng.py) and remains the default behavior.
+is opt-in (``SONAR_TPU_HW_RNG=1``): bit-reproducibility with the CPU path
+is an architecture invariant (core/rng.py) and remains the default.
 """
 
 from __future__ import annotations

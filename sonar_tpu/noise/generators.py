@@ -75,10 +75,11 @@ class Generator(NoiseItem):
         from ..kernels.hwrng import use_hw_rng
 
         if use_hw_rng():
-            # opt-in TPU hardware-PRNG path (1.2x the threefry software
-            # PRNG on pure generation; kernels/hwrng.py) — a different but
-            # deterministic stream, so OFF by default (reproducibility with
-            # the CPU path is an architecture invariant).
+            # opt-in TPU hardware-PRNG path (kernels/hwrng.py; measured
+            # throughput-neutral vs threefry — the path is HBM-bound, see
+            # profiles/ANALYSIS.md) — a different but deterministic stream,
+            # so OFF by default (reproducibility with the CPU path is an
+            # architecture invariant).
             from ..kernels.hwrng import hw_randn
 
             return hw_randn(key, shape, dtype)

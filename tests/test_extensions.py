@@ -8,10 +8,27 @@ import types
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from sonar_tpu.api import extensions
 from sonar_tpu.api.nodes import build
 from sonar_tpu.noise import NoiseChain, get_noise_item, make_noise_sampler
+
+
+@pytest.fixture(autouse=True)
+def _clean_registries():
+    """Registrations are process-global; remove test entries afterwards so
+    registry-parity oracles elsewhere in the suite stay exact."""
+    yield
+    from sonar_tpu.core.blend import BLENDING_MODES
+    from sonar_tpu.core.normalize import QUANTILE_HANDLERS
+    from sonar_tpu.noise import blendfilter, presets
+
+    for reg in (BLENDING_MODES, QUANTILE_HANDLERS, blendfilter.FILTER_PRESETS,
+                blendfilter.ENHANCE_HANDLERS, presets.NOISE_TYPES):
+        for k in [k for k in reg if str(k).startswith("testext_")]:
+            del reg[k]
+    blendfilter._ENHANCE_MODES = ("none", *blendfilter.ENHANCE_HANDLERS)
 
 
 def _draw(item, shape=(1, 4, 8, 8)):

@@ -1,10 +1,10 @@
 """Hardware-PRNG gaussian kernel (kernels/hwrng.py).
 
 On CPU the public entry falls back to jax.random.normal; the kernel itself
-is validated on-chip (profiles/ANALYSIS.md records the measured 1.2x over
-the threefry software PRNG plus moment statistics). These tests pin the
-host-side contract: fallback correctness, seed derivation, and the opt-in
-gating."""
+is validated on-chip (profiles/ANALYSIS.md: correct moment statistics,
+deterministic streams, throughput-neutral vs threefry — the roofline
+experiment). These tests pin the host-side contract: fallback correctness,
+seed derivation, and the opt-in gating."""
 
 import jax
 import jax.numpy as jnp
