@@ -192,6 +192,50 @@ def bench_hw_rng_speedup(shape=(1, 4, 128, 128), iters=50, reps=8) -> float:
     return best_tf / best_hw
 
 
+def bench_fused_pyramid_speedup(shape=(1, 4, 128, 128), iters=50,
+                                reps=8) -> float:
+    """Fused-pyramid Pallas kernel vs the XLA pyramid path, measured
+    INTERLEAVED in one process (kernels/fused_pyramid.py): the kernel
+    generates the full-size base in VMEM (hardware PRNG) and accumulates
+    the small levels as MXU matmuls, writing each output tile once."""
+    import os
+
+    from sonar_tpu.noise.base import make_noise_sampler
+    from sonar_tpu.noise.presets import get_noise_item
+
+    def build_fn():
+        item = get_noise_item("pyramid")
+        fn, state0 = make_noise_sampler(item, shape, seed=3, sigma_min=0.03,
+                                        sigma_max=14.6)
+
+        @jax.jit
+        def draw_many(state):
+            def body(st, _):
+                noise, st = fn(st, jnp.asarray(1.0), jnp.asarray(0.9))
+                return st, noise
+
+            return jax.lax.scan(body, state, None, length=iters)[1]
+
+        return draw_many, state0
+
+    os.environ["SONAR_TPU_FUSED_PYRAMID"] = "0"
+    xla_fn, xla_st = build_fn()
+    jax.block_until_ready(xla_fn(xla_st))
+    os.environ["SONAR_TPU_FUSED_PYRAMID"] = "1"
+    fused_fn, fused_st = build_fn()
+    jax.block_until_ready(fused_fn(fused_st))
+    os.environ["SONAR_TPU_FUSED_PYRAMID"] = "0"
+    best_xla = best_fused = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        jax.block_until_ready(xla_fn(xla_st))
+        best_xla = min(best_xla, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        jax.block_until_ready(fused_fn(fused_st))
+        best_fused = min(best_fused, time.perf_counter() - t0)
+    return best_xla / best_fused
+
+
 # ---------------------------------------------------------------------------
 # BASELINE config 3 at SDXL scale (VERDICT r1 item 1): sonar_dpmpp_sde
 # 30-step + scheduled time-brownian power noise + db4-L3 wavelet CFG vs plain
@@ -302,9 +346,14 @@ _TIMEOUTS = {"sdxl_euler": 1800, "sdxl_config3": 1800}
 
 # per-metric env overrides (noise_hw = the pyramid metric with the
 # hardware-PRNG Pallas kernel enabled — profiles/ANALYSIS.md §1)
-_METRIC_ENV = {"noise_hw": {"SONAR_TPU_HW_RNG": "1"}}
+_METRIC_ENV = {
+    "noise_hw": {"SONAR_TPU_HW_RNG": "1"},
+    "noise_fused": {"SONAR_TPU_FUSED_PYRAMID": "1"},
+}
 _SINGLE["noise_hw"] = bench_noise_mpix_per_sec
 _SINGLE["hw_ab"] = bench_hw_rng_speedup
+_SINGLE["noise_fused"] = bench_noise_mpix_per_sec
+_SINGLE["fused_ab"] = bench_fused_pyramid_speedup
 
 
 def _run_isolated(name: str) -> float:
@@ -345,6 +394,8 @@ def main():
     mpix = _run_isolated("noise")
     mpix_hw = _run_isolated("noise_hw")
     hw_ratio = _run_isolated("hw_ab")
+    mpix_fused = _run_isolated("noise_fused")
+    fused_ratio = _run_isolated("fused_ab")
     power_mpix = _run_isolated("power")
     anchor = _run_isolated("anchor")
     sdxl_euler = _run_isolated("sdxl_euler")
@@ -365,6 +416,10 @@ def main():
                     # interleaved same-process A/B — robust to the tunnel's
                     # degraded phases that poison cross-process comparisons
                     "hw_rng_pyramid_speedup_ratio": round(hw_ratio, 4),
+                    "noise_pyramid_fused_mpix_per_sec": round(mpix_fused, 3),
+                    # fused-pyramid Pallas kernel vs XLA path, interleaved
+                    # same-process A/B (kernels/fused_pyramid.py)
+                    "fused_pyramid_speedup_ratio": round(fused_ratio, 4),
                     "noise_power_mpix_per_sec": round(power_mpix, 3),
                     "torch_cpu_anchor_mpix_per_sec": round(anchor, 3),
                     "vs_baseline_is": "pyramid-noise Mpix/s vs torch-CPU anchor",

@@ -1,0 +1,212 @@
+"""Fused Whitaker-pyramid noise kernel (CLAUDE.md round-3 item 2).
+
+The ``pyramid`` generator (reference py/noise_generation.py:609-649) is
+``randn(H,W) + Σ_i upsample(randn(h_i,w_i)) · discount^i`` with a
+build-time random size ladder whose first entry is always full size.
+Under XLA each upsampled level materializes a full (H,W) array in HBM and
+the accumulation re-reads it: measured ~133 GPix/s on v5e ≈ 1.55 bytes of
+HBM traffic per output byte (write roofline ~0.82 TB/s → ~205 GPix/s).
+
+This kernel removes all intermediate traffic:
+
+- the two full-size gaussians (the base draw and ladder level 0, whose
+  resize is the identity) are generated *in VMEM* by the TPU hardware
+  PRNG as one Box-Muller pair (cos+sin — two independent N(0,1) fields
+  per pair of bit draws), reusing the validated substrate of
+  ``kernels/hwrng.py``;
+- every small level is upsampled as two MXU matmuls against the exact
+  separable interpolation matrices of ``ops/resample.py`` (bit-compatible
+  weights with the XLA path) and accumulated in VMEM;
+- the output tile is written to HBM exactly once.
+
+HBM traffic ≈ 1 output write + the (tiny) small levels and weight
+matrices → the kernel targets the write roofline.
+
+Stream semantics: like ``SONAR_TPU_HW_RNG``, the hardware-PRNG base is a
+*different* (deterministic per (seed, shape)) stream than threefry, so
+the kernel is opt-in via ``SONAR_TPU_FUSED_PYRAMID=1``; CPU/TPU
+bit-reproducibility of the default path is an architecture invariant.
+The small-level draws reuse the default path's threefry keys, so the
+deterministic matmul-accumulate part is bit-testable against the XLA
+composition (tests/test_fused_pyramid.py runs it in interpret mode).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+
+try:  # pallas TPU backend is optional on CPU
+    from jax.experimental.pallas import tpu as pltpu
+except Exception:  # pragma: no cover
+    pltpu = None
+
+from ..ops.resample import _resize_matrix
+from .hwrng import seed_from_key
+
+_SUBLANE = 8
+_LANE = 128
+_MAX_TILE_ROWS = 256
+
+
+def use_fused_pyramid() -> bool:
+    """Opt-in fused pyramid kernel (TPU only): SONAR_TPU_FUSED_PYRAMID=1."""
+    return (os.environ.get("SONAR_TPU_FUSED_PYRAMID", "0") != "0"
+            and jax.default_backend() == "tpu")
+
+
+def _up(n: int, m: int) -> int:
+    return -(-n // m) * m
+
+
+def fused_pyramid_supported(sizes, h: int, w: int, mode: str) -> bool:
+    """The kernel covers the standard ladder: full-size level 0 (identity
+    resize) + strictly-smaller levels, separable resize mode, tileable H."""
+    return (
+        pltpu is not None
+        and len(sizes) >= 1
+        and tuple(sizes[0]) == (h, w)
+        and all(sh <= h and sw <= w for sh, sw in sizes)
+        and mode in ("bilinear", "bicubic", "nearest", "nearest-exact", "area")
+        and h % _SUBLANE == 0
+        and w >= _SUBLANE
+    )
+
+
+def _box_muller_pair(shape):
+    """Two independent N(0,1) fields from the hardware PRNG (one
+    Box-Muller radius, cos+sin phases) — see kernels/hwrng.py for the
+    24-bit uniform construction."""
+    b1 = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    b2 = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    u1 = ((b1 >> 8).astype(jnp.int32).astype(jnp.float32) + 1.0) * (
+        1.0 / (1 << 24))
+    u2 = (b2 >> 8).astype(jnp.int32).astype(jnp.float32) * (1.0 / (1 << 24))
+    r = jnp.sqrt(-2.0 * jnp.log(u1))
+    theta = (2.0 * math.pi) * u2
+    return r * jnp.cos(theta), r * jnp.sin(theta)
+
+
+def _make_kernel(discounts, gen_base: bool, level0_discount: float):
+    n_levels = len(discounts)
+    prec = jax.lax.Precision.HIGHEST
+
+    def kernel(*refs):
+        if gen_base:
+            seed_ref = refs[0]
+            level_refs = refs[1:1 + 3 * n_levels]
+            out_ref = refs[1 + 3 * n_levels]
+            pltpu.prng_seed(seed_ref[0], pl.program_id(0), pl.program_id(1))
+            g1, g2 = _box_muller_pair(out_ref.shape[1:])
+            acc = g1 + g2 * level0_discount
+        else:
+            base_ref = refs[0]
+            level_refs = refs[1:1 + 3 * n_levels]
+            out_ref = refs[1 + 3 * n_levels]
+            acc = base_ref[0]
+        for i in range(n_levels):
+            wh_ref, small_ref, wwt_ref = level_refs[3 * i:3 * i + 3]
+            up = jnp.dot(wh_ref[...], small_ref[0],
+                         preferred_element_type=jnp.float32, precision=prec)
+            up = jnp.dot(up, wwt_ref[...],
+                         preferred_element_type=jnp.float32, precision=prec)
+            acc = acc + up * discounts[i]
+        out_ref[0] = acc.astype(out_ref.dtype)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("bc", "h", "w", "small_shapes", "discounts", "mode",
+                     "gen_base", "level0_discount", "out_dtype", "interpret"),
+)
+def _fused_pyramid_call(seed_or_base, smalls, *, bc, h, w, small_shapes,
+                        discounts, mode, gen_base, level0_discount,
+                        out_dtype=jnp.float32, interpret=False):
+    """smalls: tuple of (BC, sh, sw) arrays (unpadded); seed_or_base is an
+    int32 (1,) seed when gen_base else the combined full-size base (BC,H,W)."""
+    tile = min(_up(h, _SUBLANE), _MAX_TILE_ROWS)
+    while h % tile:
+        tile -= _SUBLANE
+    grid = (bc, h // tile)
+
+    in_specs = []
+    args = []
+    if gen_base:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        args.append(seed_or_base)
+    else:
+        in_specs.append(
+            pl.BlockSpec((1, tile, w), lambda i, t: (i, t, 0)))
+        args.append(seed_or_base)
+
+    for small, (sh, sw) in zip(smalls, small_shapes):
+        shp, swp = _up(sh, _SUBLANE), _up(sw, _LANE)
+        wh = _resize_matrix(sh, h, mode)  # (h, sh)
+        wh_p = np.zeros((h, shp), np.float32)
+        wh_p[:, :sh] = wh
+        ww = _resize_matrix(sw, w, mode)  # (w, sw)
+        wwt_p = np.zeros((swp, w), np.float32)
+        wwt_p[:sw, :] = ww.T
+        small_p = jnp.pad(small, ((0, 0), (0, shp - sh), (0, swp - sw)))
+        in_specs += [
+            pl.BlockSpec((tile, shp), lambda i, t: (t, 0)),
+            pl.BlockSpec((1, shp, swp), lambda i, t: (i, 0, 0)),
+            pl.BlockSpec((swp, w), lambda i, t: (0, 0)),
+        ]
+        args += [jnp.asarray(wh_p), small_p, jnp.asarray(wwt_p)]
+
+    kernel = _make_kernel(discounts, gen_base, level0_discount)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((bc, h, w), out_dtype),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, tile, w), lambda i, t: (i, t, 0)),
+        interpret=interpret,
+    )(*args)
+    return out
+
+
+def fused_pyramid(key: jax.Array, shape, sizes, discount: float,
+                  mode: str = "bilinear", dtype=jnp.float32) -> jax.Array:
+    """Full fused pyramid draw on TPU (hardware-PRNG base).
+
+    ``sizes`` is the build-time ladder (sizes[0] == (h, w)); small levels
+    reuse the default path's threefry keys (fold_in(kdraw, i))."""
+    b, c, h, w = shape
+    kbase, kdraw = jax.random.split(key)
+    smalls = tuple(
+        jax.random.normal(jax.random.fold_in(kdraw, i), (b * c, sh, sw),
+                          jnp.float32)
+        for i, (sh, sw) in enumerate(sizes) if i >= 1
+    )
+    small_shapes = tuple((sh, sw) for i, (sh, sw) in enumerate(sizes)
+                         if i >= 1)
+    discounts = tuple(float(discount) ** i for i in range(1, len(sizes)))
+    seed = seed_from_key(kbase).reshape(1)
+    out = _fused_pyramid_call(
+        seed, smalls, bc=b * c, h=h, w=w, small_shapes=small_shapes,
+        discounts=discounts, mode=mode, gen_base=True,
+        level0_discount=1.0, out_dtype=jnp.dtype(dtype))
+    return out.reshape(b, c, h, w)
+
+
+def fused_pyramid_accumulate(base: jax.Array, smalls, discounts,
+                             mode: str = "bilinear",
+                             interpret: bool = False) -> jax.Array:
+    """Deterministic matmul-accumulate part (base passed in) — the
+    bit-testable surface used by tests/test_fused_pyramid.py."""
+    bc, h, w = base.shape
+    return _fused_pyramid_call(
+        base, tuple(smalls), bc=bc, h=h, w=w,
+        small_shapes=tuple(s.shape[-2:] for s in smalls),
+        discounts=tuple(float(d) for d in discounts), mode=mode,
+        gen_base=False, level0_discount=1.0, interpret=interpret)

@@ -402,10 +402,19 @@ class PyramidGenerator(Generator):
         }
 
     def generate(self, ctx, state, key, sigma, sigma_next):
+        from ..kernels.fused_pyramid import (fused_pyramid,
+                                             fused_pyramid_supported,
+                                             use_fused_pyramid)
+
         b, c, h, w = ctx.adjusted_shape()
+        sizes = _size_ladder_pyramid(h, w, self.iterations, self.schedule_seed)
+        if use_fused_pyramid() and fused_pyramid_supported(
+                sizes, h, w, self.upscale_mode):
+            noise = fused_pyramid(key, (b, c, h, w), sizes, self.discount,
+                                  self.upscale_mode, ctx.dtype)
+            return fix_output_frames(ctx, noise), state
         kbase, kdraw = jax.random.split(key)
         noise = jax.random.normal(kbase, (b, c, h, w), ctx.dtype)
-        sizes = _size_ladder_pyramid(h, w, self.iterations, self.schedule_seed)
         for i, (sh, sw) in enumerate(sizes):
             small = jax.random.normal(jax.random.fold_in(kdraw, i), (b, c, sh, sw), ctx.dtype)
             noise = noise + scale_samples(small, w, h, mode=self.upscale_mode) * (
