@@ -12,6 +12,7 @@ py/sonar.py:163 — so torch-CPU is the faithful baseline; BASELINE.md).
 
 from __future__ import annotations
 
+import functools
 import json
 import time
 
@@ -192,19 +193,21 @@ def bench_hw_rng_speedup(shape=(1, 4, 128, 128), iters=50, reps=8) -> float:
     return best_tf / best_hw
 
 
-def bench_fused_pyramid_speedup(shape=(1, 4, 128, 128), iters=50,
-                                reps=8) -> float:
-    """Fused-pyramid Pallas kernel vs the XLA pyramid path, measured
-    INTERLEAVED in one process (kernels/fused_pyramid.py): the kernel
-    generates the full-size base in VMEM (hardware PRNG) and accumulates
-    the small levels as MXU matmuls, writing each output tile once."""
+def bench_fused_pyramid_speedup(noise_type="pyramid", shape=(4, 4, 512, 512),
+                                iters=50, reps=8) -> float:
+    """Fused-pyramid Pallas kernels vs the XLA path, measured INTERLEAVED
+    in one process (kernels/fused_pyramid.py): upscale ladders accumulate
+    small levels as MXU matmuls over a hardware-PRNG base; oversized
+    (downscale) ladders generate only the tapped samples in VMEM. The
+    default shape is bandwidth-dominated — at (1,4,128,128) XLA keeps the
+    intermediates in VMEM and the comparison only measures fixed costs."""
     import os
 
     from sonar_tpu.noise.base import make_noise_sampler
     from sonar_tpu.noise.presets import get_noise_item
 
     def build_fn():
-        item = get_noise_item("pyramid")
+        item = get_noise_item(noise_type)
         fn, state0 = make_noise_sampler(item, shape, seed=3, sigma_min=0.03,
                                         sigma_max=14.6)
 
@@ -354,6 +357,10 @@ _SINGLE["noise_hw"] = bench_noise_mpix_per_sec
 _SINGLE["hw_ab"] = bench_hw_rng_speedup
 _SINGLE["noise_fused"] = bench_noise_mpix_per_sec
 _SINGLE["fused_ab"] = bench_fused_pyramid_speedup
+_SINGLE["fused_old_ab"] = functools.partial(
+    bench_fused_pyramid_speedup, "pyramid_old", (1, 4, 128, 128), 20)
+_SINGLE["fused_highres_ab"] = functools.partial(
+    bench_fused_pyramid_speedup, "highres_pyramid", (1, 4, 128, 128), 20)
 
 
 def _run_isolated(name: str) -> float:
@@ -396,6 +403,8 @@ def main():
     hw_ratio = _run_isolated("hw_ab")
     mpix_fused = _run_isolated("noise_fused")
     fused_ratio = _run_isolated("fused_ab")
+    fused_old_ratio = _run_isolated("fused_old_ab")
+    fused_highres_ratio = _run_isolated("fused_highres_ab")
     power_mpix = _run_isolated("power")
     anchor = _run_isolated("anchor")
     sdxl_euler = _run_isolated("sdxl_euler")
@@ -417,9 +426,14 @@ def main():
                     # degraded phases that poison cross-process comparisons
                     "hw_rng_pyramid_speedup_ratio": round(hw_ratio, 4),
                     "noise_pyramid_fused_mpix_per_sec": round(mpix_fused, 3),
-                    # fused-pyramid Pallas kernel vs XLA path, interleaved
-                    # same-process A/B (kernels/fused_pyramid.py)
-                    "fused_pyramid_speedup_ratio": round(fused_ratio, 4),
+                    # fused-pyramid Pallas kernels vs XLA path, interleaved
+                    # same-process A/Bs (kernels/fused_pyramid.py); the
+                    # pyramid ratio is at the bandwidth-dominated 512x512
+                    "fused_pyramid_512_speedup_ratio": round(fused_ratio, 4),
+                    "fused_pyramid_old_speedup_ratio":
+                        round(fused_old_ratio, 4),
+                    "fused_highres_pyramid_speedup_ratio":
+                        round(fused_highres_ratio, 4),
                     "noise_power_mpix_per_sec": round(power_mpix, 3),
                     "torch_cpu_anchor_mpix_per_sec": round(anchor, 3),
                     "vs_baseline_is": "pyramid-noise Mpix/s vs torch-CPU anchor",

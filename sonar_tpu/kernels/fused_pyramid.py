@@ -95,14 +95,22 @@ def _box_muller_pair(shape):
 
 def _make_kernel(discounts, gen_base: bool, level0_discount: float):
     n_levels = len(discounts)
-    prec = jax.lax.Precision.HIGHEST
+    # DEFAULT (bf16-input MXU) precision: the fused path is an opt-in
+    # distinct-stream mode, and at large latents the dense interpolation
+    # matmuls are the bottleneck — HIGHEST (fp32 multi-pass) costs ~6x MXU
+    # time for noise that tolerates 1e-3 relative interpolation error.
+    # (The default XLA path keeps HIGHEST: ops/resample.py numerics define
+    # reproducible streams.) Interpret-mode tests still see exact fp32.
+    prec = jax.lax.Precision.DEFAULT
 
     def kernel(*refs):
         if gen_base:
             seed_ref = refs[0]
             level_refs = refs[1:1 + 3 * n_levels]
             out_ref = refs[1 + 3 * n_levels]
-            pltpu.prng_seed(seed_ref[0], pl.program_id(0), pl.program_id(1))
+            # Mosaic caps prng_seed at 2 values: fold (bc, tile) into one id
+            block = pl.program_id(0) * pl.num_programs(1) + pl.program_id(1)
+            pltpu.prng_seed(seed_ref[0], block)
             g1, g2 = _box_muller_pair(out_ref.shape[1:])
             acc = g1 + g2 * level0_discount
         else:
@@ -210,3 +218,170 @@ def fused_pyramid_accumulate(base: jax.Array, smalls, discounts,
         small_shapes=tuple(s.shape[-2:] for s in smalls),
         discounts=tuple(float(d) for d in discounts), mode=mode,
         gen_base=False, level0_discount=1.0, interpret=interpret)
+
+
+# ---------------------------------------------------------------------------
+# Fused DOWNSCALE pyramids (highres_pyramid / pyramid_old).
+#
+# These ladders generate levels LARGER than the output (up to 15x per axis,
+# reference py/noise_generation.py:517-606 — the docs call pyramid_old
+# "~60x the latent size") and then downsample. At scale >= 2 the bilinear
+# downscale reads only 2 taps per output row/column and the tap sets of
+# distinct output pixels are DISJOINT (consecutive output rows map >= 2 src
+# rows apart), so each used source sample is consumed by exactly one output
+# pixel. The big iid-gaussian level therefore never needs to exist: per
+# output pixel, its 4 tapped samples are just 4 fresh iid N(0,1) fields.
+# The kernel generates those fields in VMEM (hardware PRNG) and applies the
+# interpolation weights computed from iota — HBM traffic is one base read +
+# one output write, vs the XLA path's materialization of every oversized
+# level. (For nearest-exact the tap is single and the level collapses to
+# ONE fresh field — pyramid_old's entire 60x ladder is, distributionally,
+# white noise with std sqrt(sum_i (0.5^i * discount^i)^2).)
+# ---------------------------------------------------------------------------
+
+
+def _down_weights(out_len: int, in_len: int, tile: int, tile_idx, axis: int):
+    """Per-output-position 2-tap interpolation weights (w0, w1) along one
+    axis, computed in-kernel from iota with the exact _resize_matrix
+    coordinate formula ((o + 0.5) * I / O - 0.5)."""
+    shape = (tile, 1) if axis == 0 else (1, out_len)
+    # Mosaic iota must be integer-typed; cast to f32 after
+    o = jax.lax.broadcasted_iota(jnp.int32, shape, axis).astype(jnp.float32)
+    if axis == 0:
+        o = o + tile_idx.astype(jnp.float32) * tile
+    x = (o + 0.5) * (in_len / out_len) - 0.5
+    f = x - jnp.floor(x)
+    return 1.0 - f, f
+
+
+def _make_down_kernel(levels, mode: str, gen: bool, has_base: bool,
+                      tile: int, h: int, w: int):
+    """levels: tuple of (sh, sw, coef). sh == h means an identity level
+    (single fresh field). gen=True draws fields from the hardware PRNG;
+    gen=False reads them from per-level (1, 4, tile, w) inputs (plane
+    order g00, g01, g10, g11)."""
+    n = len(levels)
+
+    def kernel(*refs):
+        idx = 0
+        if gen:
+            seed_ref = refs[idx]
+            idx += 1
+        if has_base:
+            base_ref = refs[idx]
+            idx += 1
+        g_refs = refs[idx:idx + (0 if gen else n)]
+        out_ref = refs[-1]
+        t = pl.program_id(1)
+        if gen:
+            block = pl.program_id(0) * pl.num_programs(1) + t
+            pltpu.prng_seed(seed_ref[0], block)
+        acc = base_ref[0] if has_base else jnp.zeros((tile, w), jnp.float32)
+
+        def fields(li, count):
+            if gen:
+                out = []
+                while len(out) < count:
+                    g1, g2 = _box_muller_pair((tile, w))
+                    out += [g1, g2]
+                return out[:count]
+            return [g_refs[li][0, p] for p in range(count)]
+
+        for li, (sh, sw, coef) in enumerate(levels):
+            if (sh == h and sw == w) or mode in ("nearest", "nearest-exact"):
+                # identity level, or nearest taps: a single fresh field
+                acc = acc + fields(li, 1)[0] * coef
+                continue
+            wr0, wr1 = _down_weights(h, sh, tile, t, 0)
+            wc0, wc1 = _down_weights(w, sw, tile, t, 1)
+            g00, g01, g10, g11 = fields(li, 4)
+            lvl = wr0 * (wc0 * g00 + wc1 * g01) + wr1 * (wc0 * g10 + wc1 * g11)
+            acc = acc + lvl * coef
+        out_ref[0] = acc.astype(out_ref.dtype)
+
+    return kernel
+
+
+def fused_downscale_supported(sizes, h: int, w: int, mode: str) -> bool:
+    """Every level must be the identity or a >=2x downscale per axis (the
+    tap-injectivity condition) in a supported separable mode."""
+    return (
+        pltpu is not None
+        and len(sizes) >= 1
+        and mode in ("bilinear", "nearest", "nearest-exact")
+        and h % _SUBLANE == 0
+        and all((sh == h and sw == w) or (sh >= 2 * h and sw >= 2 * w)
+                for sh, sw in sizes)
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("bc", "h", "w", "levels", "mode", "gen", "out_dtype",
+                     "interpret"),
+)
+def _fused_down_call(seed, base, g_fields, *, bc, h, w, levels, mode, gen,
+                     out_dtype=jnp.float32, interpret=False):
+    tile = min(_up(h, _SUBLANE), _MAX_TILE_ROWS)
+    while h % tile:
+        tile -= _SUBLANE
+    grid = (bc, h // tile)
+    has_base = base is not None
+
+    in_specs, args = [], []
+    if gen:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        args.append(seed)
+    if has_base:
+        in_specs.append(pl.BlockSpec((1, tile, w), lambda i, t: (i, t, 0)))
+        args.append(base)
+    if not gen:
+        for gfield in g_fields:
+            in_specs.append(
+                pl.BlockSpec((1, 4, tile, w), lambda i, t: (i, 0, t, 0)))
+            args.append(gfield)
+
+    kernel = _make_down_kernel(levels, mode, gen, has_base, tile, h, w)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((bc, h, w), out_dtype),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, tile, w), lambda i, t: (i, t, 0)),
+        interpret=interpret,
+    )(*args)
+
+
+def fused_downscale_pyramid(key: jax.Array, shape, sizes, coefs,
+                            mode: str = "bilinear", base=None,
+                            dtype=jnp.float32) -> jax.Array:
+    """Fused highres_pyramid / pyramid_old draw on TPU: oversized levels
+    are never materialized — their tapped samples are generated in VMEM.
+
+    ``sizes``/``coefs`` describe the ladder ((sh, sw), coef per level);
+    ``base`` is an optional (b, c, h, w) array added in (highres_pyramid's
+    inner/uniform base, which may be any injected generator)."""
+    b, c, h, w = shape
+    levels = tuple((int(sh), int(sw), float(cf))
+                   for (sh, sw), cf in zip(sizes, coefs))
+    seed = seed_from_key(key).reshape(1)
+    base_bc = None if base is None else base.reshape(b * c, h, w)
+    out = _fused_down_call(
+        seed, base_bc, (), bc=b * c, h=h, w=w, levels=levels, mode=mode,
+        gen=True, out_dtype=jnp.dtype(dtype))
+    return out.reshape(b, c, h, w)
+
+
+def fused_downscale_accumulate(g_fields, shape_hw, sizes, coefs,
+                               mode: str = "bilinear", base=None,
+                               interpret: bool = False) -> jax.Array:
+    """Deterministic weight-combination surface (fields passed in as
+    (BC, 4, H, W) arrays) — bit-testable against the XLA composition by
+    scattering the fields into the oversized levels."""
+    h, w = shape_hw
+    bc = g_fields[0].shape[0] if g_fields else base.shape[0]
+    levels = tuple((int(sh), int(sw), float(cf))
+                   for (sh, sw), cf in zip(sizes, coefs))
+    return _fused_down_call(
+        None, base, tuple(g_fields), bc=bc, h=h, w=w, levels=levels,
+        mode=mode, gen=False, interpret=interpret)

@@ -340,12 +340,25 @@ class HighresPyramidGenerator(Generator):
         return self._inner().init_state(ctx, key)
 
     def generate(self, ctx, state, key, sigma, sigma_next):
+        from ..kernels.fused_pyramid import (fused_downscale_pyramid,
+                                             fused_downscale_supported,
+                                             use_fused_pyramid)
+
         b, c, h, w = ctx.adjusted_shape()
         inner = self._inner()
         kinner, kdraw = jax.random.split(key)
         base, state = inner.hooked(ctx, state, kinner, sigma, sigma_next)
         noise = base.reshape(b, c, h, w)
         sizes = _size_ladder_highres(h, w, self.iterations, self.schedule_seed)
+        if use_fused_pyramid() and fused_downscale_supported(
+                sizes, h, w, self.upscale_mode):
+            # levels >= 2x the output per axis: never materialize them —
+            # generate only the tapped samples in VMEM (tap injectivity)
+            coefs = [self.discount**i for i in range(len(sizes))]
+            noise = fused_downscale_pyramid(
+                kdraw, (b, c, h, w), sizes, coefs, self.upscale_mode,
+                base=noise, dtype=ctx.dtype)
+            return fix_output_frames(ctx, noise), state
         for i, (sh, sw) in enumerate(sizes):
             big = jax.random.normal(jax.random.fold_in(kdraw, i), (b, c, sh, sw), noise.dtype)
             noise = noise + scale_samples(big, w, h, mode=self.upscale_mode) * (
@@ -372,7 +385,24 @@ class PyramidOldGenerator(Generator):
         }
 
     def generate(self, ctx, state, key, sigma, sigma_next):
+        from ..kernels.fused_pyramid import (fused_downscale_pyramid,
+                                             fused_downscale_supported,
+                                             use_fused_pyramid)
+
         b, c, h, w = ctx.adjusted_shape()
+        sizes = [(h * 2 ** (i + 1), w * 2 ** (i + 1))
+                 for i in range(self.iterations)]
+        if use_fused_pyramid() and fused_downscale_supported(
+                sizes, h, w, self.upscale_mode):
+            # the "~60x the latent size" ladder never materializes: each
+            # oversized level contributes exactly one tapped iid sample per
+            # output pixel (nearest-exact downscale of iid noise)
+            coefs = [(0.5**i) * self.discount**i
+                     for i in range(self.iterations)]
+            noise = fused_downscale_pyramid(key, (b, c, h, w), sizes, coefs,
+                                            self.upscale_mode,
+                                            dtype=ctx.dtype)
+            return fix_output_frames(ctx, noise), state
         noise = jnp.zeros((b, c, h, w), ctx.dtype)
         r = 1
         for i in range(self.iterations):

@@ -92,3 +92,75 @@ def test_default_pyramid_path_unchanged_by_flag_off(monkeypatch):
                                   sigma_min=0.03, sigma_max=14.6)
     n2, _ = fn2(st2, jnp.asarray(1.0), jnp.asarray(0.9))
     np.testing.assert_array_equal(np.asarray(n1), np.asarray(n2))
+
+
+# ---------------------------------------------------------------------------
+# Fused downscale pyramids (highres_pyramid / pyramid_old): scatter the
+# compressed tap fields back into the oversized levels and check the XLA
+# composition reproduces the kernel output (tap injectivity at scale >= 2).
+# ---------------------------------------------------------------------------
+
+
+def _scatter_level(g, sh, sw, h, w, mode):
+    """Place the (BC, 4, H, W) tap fields into a zeros (BC, sh, sw) level at
+    the exact positions _resize_matrix taps for each output pixel."""
+    bc = g.shape[0]
+    big = np.zeros((bc, sh, sw), np.float32)
+    if sh == h and sw == w:
+        return np.asarray(g[:, 0])
+    if mode in ("nearest", "nearest-exact"):
+        r = np.minimum(((np.arange(h) + 0.5) * sh / h).astype(np.int64), sh - 1)
+        c = np.minimum(((np.arange(w) + 0.5) * sw / w).astype(np.int64), sw - 1)
+        big[:, r[:, None], c[None, :]] = np.asarray(g[:, 0])
+        return big
+    r0 = np.floor((np.arange(h) + 0.5) * sh / h - 0.5).astype(np.int64)
+    c0 = np.floor((np.arange(w) + 0.5) * sw / w - 0.5).astype(np.int64)
+    for p, (a, b) in enumerate([(0, 0), (0, 1), (1, 0), (1, 1)]):
+        big[:, (r0 + a)[:, None], (c0 + b)[None, :]] = np.asarray(g[:, p])
+    return big
+
+
+@pytest.mark.parametrize("mode", ["bilinear", "nearest-exact"])
+def test_downscale_accumulate_matches_scattered_composition(mode):
+    from sonar_tpu.kernels.fused_pyramid import fused_downscale_accumulate
+
+    bc, h, w = 2, 16, 128
+    sizes = [(16, 128), (33, 257), (64, 512)]  # identity + two >=2x levels
+    coefs = [1.0, 0.7, 0.49]
+    key = jax.random.key(11)
+    gs = [jax.random.normal(jax.random.fold_in(key, i), (bc, 4, h, w),
+                            jnp.float32) for i in range(len(sizes))]
+    base = jax.random.normal(jax.random.fold_in(key, 99), (bc, h, w),
+                             jnp.float32)
+    got = fused_downscale_accumulate(gs, (h, w), sizes, coefs, mode=mode,
+                                     base=base, interpret=True)
+    want = np.asarray(base)
+    for g, (sh, sw), cf in zip(gs, sizes, coefs):
+        big = _scatter_level(g, sh, sw, h, w, mode)
+        want = want + np.asarray(
+            scale_samples(jnp.asarray(big), w, h, mode=mode)) * cf
+    np.testing.assert_allclose(np.asarray(got), want, rtol=0, atol=3e-5)
+
+
+def test_downscale_accumulate_no_base():
+    from sonar_tpu.kernels.fused_pyramid import fused_downscale_accumulate
+
+    bc, h, w = 1, 8, 128
+    sizes = [(32, 512)]
+    gs = [jax.random.normal(jax.random.key(4), (bc, 4, h, w), jnp.float32)]
+    got = fused_downscale_accumulate(gs, (h, w), sizes, [0.4],
+                                     mode="nearest-exact", interpret=True)
+    big = _scatter_level(gs[0], 32, 512, h, w, "nearest-exact")
+    want = np.asarray(
+        scale_samples(jnp.asarray(big), w, h, mode="nearest-exact")) * 0.4
+    np.testing.assert_allclose(np.asarray(got), want, rtol=0, atol=3e-5)
+
+
+def test_downscale_supported_gating():
+    from sonar_tpu.kernels.fused_pyramid import fused_downscale_supported
+
+    assert fused_downscale_supported([(16, 128), (33, 257)], 16, 128,
+                                     "bilinear") in (True, False)
+    # 1 < scale < 2 violates tap injectivity
+    assert not fused_downscale_supported([(24, 200)], 16, 128, "bilinear")
+    assert not fused_downscale_supported([(32, 256)], 16, 128, "bicubic")
