@@ -1,0 +1,245 @@
+"""ComfyUI workflow porting — build the sonar subgraph of a workflow.
+
+Every reference example image embeds the ComfyUI "prompt" graph that
+produced it (docs/advanced_noise_nodes.md:35-39 in the reference): a JSON
+dict ``{node_id: {"class_type": str, "inputs": {name: value | [src_id,
+out_idx]}}}``. :func:`port_workflow` walks that graph and builds every
+node this framework implements (api/nodes.py builders, all 54 reference
+names) into live framework objects, resolving inter-node links
+recursively and adapting the ComfyUI host inputs:
+
+- ``model`` links become the caller's ``model_sampling`` (the only thing
+  the reference nodes use MODEL for is percent→sigma / timestep);
+- LATENT/MASK/IMAGE links from host nodes are looked up in ``externals``
+  (keyed ``"<node_id>.<input>"`` or just ``"<input>"``);
+- optional ``*_opt`` links into host nodes are dropped with a warning;
+- host nodes (checkpoint loaders, samplers, VAE, ...) are reported in
+  ``skipped`` — they have no meaning outside ComfyUI.
+
+The result's :attr:`PortResult.noise_roots` are the built noise chains no
+other built node consumes — the workflow's end-product noise, ready for
+``make_noise_sampler``.
+"""
+
+from __future__ import annotations
+
+import inspect
+import json
+import struct
+import zlib
+from dataclasses import dataclass, field
+from typing import Any
+
+from .nodes import NODES, build
+
+__all__ = ["read_png_metadata", "read_workflow", "port_workflow", "PortResult"]
+
+
+def read_png_metadata(path) -> dict[str, str]:
+    """All tEXt/zTXt/iTXt key→value pairs of a PNG (stdlib only)."""
+    data = open(path, "rb").read()
+    if data[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError(f"{path}: not a PNG")
+    out: dict[str, str] = {}
+    pos = 8
+    while pos + 8 <= len(data):
+        ln, typ = struct.unpack(">I4s", data[pos:pos + 8])
+        chunk = data[pos + 8:pos + 8 + ln]
+        if typ == b"tEXt":
+            k, _, v = chunk.partition(b"\x00")
+            out[k.decode("latin-1")] = v.decode("latin-1")
+        elif typ == b"zTXt":
+            k, _, rest = chunk.partition(b"\x00")
+            out[k.decode("latin-1")] = zlib.decompress(rest[1:]).decode(
+                "latin-1")
+        elif typ == b"iTXt":
+            k, _, rest = chunk.partition(b"\x00")
+            comp_flag = rest[0]
+            body = rest[2:]
+            for _ in range(2):  # language tag, translated keyword
+                _, _, body = body.partition(b"\x00")
+            text = zlib.decompress(body) if comp_flag else body
+            out[k.decode("latin-1")] = text.decode("utf-8", "replace")
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln
+    return out
+
+
+def read_workflow(source) -> dict:
+    """The ComfyUI prompt graph from a PNG path, JSON path/string, or an
+    already-parsed dict."""
+    if isinstance(source, dict):
+        return source
+    s = str(source)
+    if s.lstrip().startswith("{"):
+        return json.loads(s)
+    if s.lower().endswith(".png"):
+        meta = read_png_metadata(s)
+        if "prompt" not in meta:
+            raise ValueError(f"{s}: no embedded ComfyUI prompt metadata")
+        return json.loads(meta["prompt"])
+    with open(s) as fh:
+        return json.load(fh)
+
+
+@dataclass
+class PortResult:
+    built: dict[str, Any] = field(default_factory=dict)
+    classes: dict[str, str] = field(default_factory=dict)
+    skipped: dict[str, str] = field(default_factory=dict)
+    failed: dict[str, str] = field(default_factory=dict)
+    warnings: list[str] = field(default_factory=list)
+    consumed: set = field(default_factory=set)
+
+    @property
+    def noise_roots(self) -> dict[str, Any]:
+        """Built noise items no other built node consumed (the workflow's
+        end-product noise chains)."""
+        from ..noise.base import NoiseItem
+
+        return {nid: obj for nid, obj in self.built.items()
+                if isinstance(obj, NoiseItem) and nid not in self.consumed}
+
+    def summary(self) -> str:
+        lines = [f"built {len(self.built)} sonar node(s): "
+                 + ", ".join(sorted({self.classes[i] for i in self.built}))]
+        if self.skipped:
+            lines.append(f"skipped {len(self.skipped)} host node(s): "
+                         + ", ".join(sorted(set(self.skipped.values()))))
+        if self.failed:
+            lines += [f"FAILED {nid} ({self.classes.get(nid)}): {msg}"
+                      for nid, msg in self.failed.items()]
+        lines += [f"warning: {w}" for w in self.warnings]
+        return "\n".join(lines)
+
+
+_HOST_ARRAY_INPUTS = ("latent", "mask", "image", "ref_latent_opt",
+                      "latent_opt")
+
+# names that old workflows embed but the reference itself later renamed
+# (reference changelog.md:101-102 — "implementation was incorrect" renames;
+# :156 — studentt_test was the interim name of today's studentt)
+LEGACY_NOISE_TYPES = {"pink": "pink_old", "power": "power_old",
+                      "studentt_test": "studentt"}
+_TRISTATE = ("default", "forced", "disabled")
+
+
+def _is_link(v, graph) -> bool:
+    return (isinstance(v, (list, tuple)) and len(v) == 2
+            and isinstance(v[0], str) and isinstance(v[1], int)
+            and v[0] in graph)
+
+
+def port_workflow(source, *, model_sampling=None, externals=None,
+                  validate: bool = True) -> PortResult:
+    """Build every sonar node of a ComfyUI workflow. See module docs."""
+    graph = read_workflow(source)
+    externals = dict(externals or {})
+    res = PortResult()
+    res.classes = {nid: node.get("class_type", "?")
+                   for nid, node in graph.items()}
+    building: set[str] = set()
+
+    def default_ms():
+        nonlocal model_sampling
+        if model_sampling is None:
+            from ..cfg import DiscreteSampling
+
+            model_sampling = DiscreteSampling()
+            res.warnings.append(
+                "no model_sampling given: using DiscreteSampling() defaults "
+                "for percent->sigma conversions")
+        return model_sampling
+
+    def resolve(nid: str):
+        if nid in res.built:
+            return res.built[nid]
+        if nid in res.skipped or nid in res.failed:
+            return None
+        cls = res.classes[nid]
+        if cls not in NODES:
+            res.skipped[nid] = cls
+            return None
+        if nid in building:
+            raise ValueError(f"workflow cycle through node {nid} ({cls})")
+        building.add(nid)
+        try:
+            obj = _build_node(nid, cls)
+        except Exception as exc:  # noqa: BLE001 — collect per-node failures
+            res.failed[nid] = f"{type(exc).__name__}: {exc}"
+            obj = None
+        finally:
+            building.discard(nid)
+        if obj is not None:
+            res.built[nid] = obj
+        return obj
+
+    def _build_node(nid: str, cls: str):
+        sig = inspect.signature(NODES[cls])
+        params = {}
+        for name, value in graph[nid].get("inputs", {}).items():
+            if not _is_link(value, graph):
+                if (name in ("noise_type", "rand_init_noise_type")
+                        and value in LEGACY_NOISE_TYPES):
+                    res.warnings.append(
+                        f"{nid} ({cls}): legacy noise type {value!r} -> "
+                        f"{LEGACY_NOISE_TYPES[value]!r} (reference "
+                        "changelog rename)")
+                    value = LEGACY_NOISE_TYPES[value]
+                elif (name.startswith("normalize") and isinstance(value, str)
+                        and value not in _TRISTATE):
+                    # ancient widget layouts stored unrelated strings here
+                    res.warnings.append(
+                        f"{nid} ({cls}): dropped legacy {name}={value!r} "
+                        "(not a tristate; using the default)")
+                    continue
+                params[name] = value
+                continue
+            src_id = value[0]
+            if res.classes[src_id] in NODES:
+                child = resolve(src_id)
+                if child is None:
+                    raise ValueError(
+                        f"input {name!r} depends on {src_id} "
+                        f"({res.classes[src_id]}) which failed to build")
+                res.consumed.add(src_id)
+                params[name] = child
+                continue
+            # link into a host node: adapt or drop
+            if name == "model":
+                params["model_sampling"] = default_ms()
+                continue
+            key_specific = f"{nid}.{name}"
+            if key_specific in externals or name in externals:
+                params[name] = externals.get(key_specific, externals.get(name))
+                continue
+            p = sig.parameters.get(name)
+            optional = (name.endswith("_opt")
+                        or (p is not None and p.default is not p.empty)
+                        or (p is None
+                            and any(q.kind is q.VAR_KEYWORD
+                                    for q in sig.parameters.values())))
+            if optional:
+                res.warnings.append(
+                    f"{nid} ({cls}): dropped optional host input {name!r} "
+                    f"from {res.classes[src_id]}")
+                continue
+            raise ValueError(
+                f"required host input {name!r} comes from a "
+                f"{res.classes[src_id]} node; supply externals["
+                f"'{key_specific}'] or externals['{name}']")
+        if ("model_sampling" in sig.parameters
+                and "model_sampling" not in params):
+            params["model_sampling"] = default_ms()
+        # required builder params the workflow cannot carry (e.g.
+        # FreeUExtreme's model_channels, which ComfyUI reads off the MODEL)
+        for pname, p in sig.parameters.items():
+            if (p.default is p.empty and p.kind is p.KEYWORD_ONLY
+                    and pname not in params and pname in externals):
+                params[pname] = externals[pname]
+        return build(cls, _validate=validate, **params)
+
+    for nid in graph:
+        resolve(nid)
+    return res
