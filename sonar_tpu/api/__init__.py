@@ -20,5 +20,10 @@ from . import extensions  # noqa: F401
 from .guider import make_latent_op_cfg_function  # noqa: F401
 from .nodes import NODES, build, register_node, tristate  # noqa: F401
 from .pipeline import SonarPipeline  # noqa: F401
-from .workflow import PortResult, port_workflow, read_workflow  # noqa: F401
+from .workflow import (  # noqa: F401
+    PortResult,
+    pipeline_from_workflow,
+    port_workflow,
+    read_workflow,
+)
 from .preview import noise_to_rgb, preview_power_filter, preview_power_noise  # noqa: F401

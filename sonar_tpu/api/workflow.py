@@ -32,7 +32,15 @@ from typing import Any
 
 from .nodes import NODES, build
 
-__all__ = ["read_png_metadata", "read_workflow", "port_workflow", "PortResult"]
+__all__ = ["read_png_metadata", "read_workflow", "port_workflow",
+           "pipeline_from_workflow", "PortResult"]
+
+# node classes whose built object is a sampler callable (model, x, sigmas)
+SAMPLER_NODE_CLASSES = frozenset({
+    "SamplerSonarEuler", "SamplerSonarEulerA", "SamplerSonarDPMPPSDE",
+    "SamplerConfigOverride", "KRestartSamplerCustomNoise",
+    "RestartSamplerCustomNoise",
+})
 
 
 def read_png_metadata(path) -> dict[str, str]:
@@ -243,3 +251,54 @@ def port_workflow(source, *, model_sampling=None, externals=None,
     for nid in graph:
         resolve(nid)
     return res
+
+
+def pipeline_from_workflow(source, *, model, model_uncond=None,
+                           model_sampling=None, externals=None,
+                           sampler_node: str | None = None,
+                           validate: bool = True, **pipeline_kwargs):
+    """Assemble a runnable :class:`~sonar_tpu.api.SonarPipeline` from a
+    ported workflow: its sonar sampler node (momentum config, guidance,
+    attached custom noise) plus any unconsumed noise chain, wavelet CFG,
+    and latent operations, with the caller's denoiser(s).
+
+    Returns ``(pipeline, port_result)``. When the workflow contains several
+    sampler nodes (the reference example images often compare two), pass
+    ``sampler_node=<node_id>`` — otherwise the last one is used and a
+    warning lists the alternatives.
+    """
+    from ..cfg.wavelet_cfg import WaveletCFG
+    from .pipeline import SonarPipeline
+
+    res = port_workflow(source, model_sampling=model_sampling,
+                        externals=externals, validate=validate)
+    samplers = {nid: obj for nid, obj in res.built.items()
+                if res.classes[nid] in SAMPLER_NODE_CLASSES}
+    sampler = None
+    if sampler_node is not None:
+        sampler = samplers[sampler_node]
+    elif samplers:
+        nid = list(samplers)[-1]
+        sampler = samplers[nid]
+        if len(samplers) > 1:
+            res.warnings.append(
+                "multiple sampler nodes: using "
+                f"{nid} ({res.classes[nid]}); alternatives: "
+                + ", ".join(f"{i} ({res.classes[i]})"
+                            for i in samplers if i != nid))
+    wcfgs = [obj for obj in res.built.values() if isinstance(obj, WaveletCFG)]
+    kwargs = dict(pipeline_kwargs)
+    if sampler is not None:
+        kwargs.setdefault("sampler", sampler)
+    roots = res.noise_roots
+    if roots:
+        nid = list(roots)[-1]
+        kwargs.setdefault("noise", roots[nid])
+        if len(roots) > 1:
+            res.warnings.append(
+                f"multiple unconsumed noise chains: pipeline uses {nid}")
+    if wcfgs:
+        kwargs.setdefault("wavelet_cfg", wcfgs[-1])
+    pipe = SonarPipeline(model=model, model_uncond=model_uncond,
+                         model_sampling=model_sampling, **kwargs)
+    return pipe, res

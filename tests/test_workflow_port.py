@@ -119,3 +119,34 @@ def test_read_workflow_accepts_json_string_and_dict():
     assert read_workflow(json.dumps(g)) == g
     res = port_workflow(g)
     assert list(res.noise_roots) == ["1"]
+
+
+def test_pipeline_from_workflow_runs_end_to_end():
+    from sonar_tpu.api import pipeline_from_workflow
+
+    png = ASSETS / "noise_adv" / "noise_composite_brownian.png"
+    model = lambda x, sb, **kw: x * 0.95  # noqa: E731
+    pipe, res = pipeline_from_workflow(str(png), model=model,
+                                       externals=EXTERNALS)
+    assert not res.failed, res.summary()
+    sigmas = jnp.concatenate([jnp.linspace(14.6, 0.03, 8),
+                              jnp.zeros((1,))]).astype(jnp.float32)
+    x0 = jax.random.normal(jax.random.key(0), (1, 4, 32, 32)) * 14.6
+    out = jax.jit(lambda v: pipe(v, sigmas))(x0)
+    assert out.shape == x0.shape
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_pipeline_from_workflow_warns_on_multiple_samplers():
+    from sonar_tpu.api import pipeline_from_workflow
+
+    png = ASSETS / "noise" / "noise_gaussian.png"  # euler AND euler_a nodes
+    model = lambda x, sb, **kw: x * 0.95  # noqa: E731
+    pipe, res = pipeline_from_workflow(str(png), model=model,
+                                       externals=EXTERNALS)
+    assert any("multiple sampler nodes" in w for w in res.warnings)
+    sigmas = jnp.concatenate([jnp.linspace(14.6, 0.03, 5),
+                              jnp.zeros((1,))]).astype(jnp.float32)
+    out = jax.jit(lambda v: pipe(v, sigmas))(
+        jax.random.normal(jax.random.key(1), (1, 4, 16, 16)) * 14.6)
+    assert np.isfinite(np.asarray(out)).all()
