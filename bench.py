@@ -20,28 +20,75 @@ import jax
 import jax.numpy as jnp
 
 
+def _force(out) -> float:
+    """Force completion with a host readback of one element.
+
+    CRITICAL on this environment's TPU tunnel: ``jax.block_until_ready``
+    can resolve ~30us after dispatch WITHOUT waiting for execution when
+    the program's outputs are large (measured: 8 queued 84MB-output scans
+    all "ready" in 30us each; a one-element readback shows the true 65ms).
+    Any timing that does not read data back is measuring enqueue latency.
+    A single-element fetch waits for the whole producing program (buffer-
+    level dependency) while transferring 4 bytes."""
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    return float(leaf.ravel()[0])
+
+
 def _timeit(fn, *args, warmup=2, iters=10):
+    """Pipelined average: enqueue all iterations, read back once. Device
+    execution is in-order, so the final readback waits for every queued
+    program while the single round-trip amortizes across iters."""
     for _ in range(warmup):
-        jax.block_until_ready(fn(*args))
+        _force(fn(*args))
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _force(out)
     return (time.perf_counter() - t0) / iters
 
 
 def _timeit_min(fn, *args, warmup=1, reps=8):
-    """Min-of-reps timing: the TPU tunnel adds large, one-sided latency
-    noise to sub-millisecond executions (CLAUDE.md), and the minimum is the
-    standard robust statistic against one-sided contamination."""
+    """Min-of-reps timing with per-rep readback forcing (see _force): the
+    tunnel adds large, one-sided latency noise, and the minimum is the
+    standard robust statistic against one-sided contamination. Each rep
+    includes one host round-trip (~25-35ms measured); interpret sub-100ms
+    results as upper bounds on true device time — use _timeit_slope for
+    fast programs."""
     for _ in range(warmup):
-        jax.block_until_ready(fn(*args))
+        _force(fn(*args))
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args))
+        _force(fn(*args))
         best = min(best, time.perf_counter() - t0)
     return best
+
+
+def _group_time(fn, args, G, reps):
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        for _ in range(G):
+            out = fn(*args)
+        _force(out)
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def _timeit_slope(fn, *args, g1=4, g2=16, reps=4):
+    """True per-execution time via two-point group timing.
+
+    The tunnel's forced-readback round trip costs ~25-35ms — larger than
+    most noise programs — so any single forced timing measures the round
+    trip, not the device. Execution is in-order, so enqueueing G runs and
+    forcing the last measures RTT + G*t_exec; the slope between two group
+    sizes cancels the intercept. (Validated on chip: a 50-draw randn scan
+    measures 31ms forced single but 0.62ms/exec by slope, consistent with
+    its 13MB of writes; see profiles/ANALYSIS.md section 5.)"""
+    _force(fn(*args))  # warm
+    t1 = _group_time(fn, args, g1, reps)
+    t2 = _group_time(fn, args, g2, reps)
+    return max((t2 - t1) / (g2 - g1), 1e-9)
 
 
 def bench_sampler_steps_per_sec(steps: int = 20, shape=(1, 4, 64, 64)) -> float:
@@ -84,11 +131,33 @@ def bench_noise_mpix_per_sec(shape=(1, 4, 128, 128), iters=50) -> float:
         st, stacked = jax.lax.scan(body, state, None, length=iters)
         return stacked
 
-    dt = _timeit_min(draw_many, state0, warmup=1, reps=8)
+    dt = _timeit_slope(draw_many, state0)
     npix = 1
     for d in shape:
         npix *= d
     return npix * iters / dt / 1e6
+
+
+def bench_noise_bulk_mpix(batch=800, shape=(4, 128, 128)) -> float:
+    """Bulk batched pyramid generation (serving-shaped): one program,
+    batch-dim parallelism instead of a sequential scan."""
+    from sonar_tpu.noise.base import make_noise_sampler
+    from sonar_tpu.noise.presets import get_noise_item
+
+    big = (batch,) + shape
+    item = get_noise_item("pyramid")
+    fn, state0 = make_noise_sampler(item, big, seed=3, sigma_min=0.03,
+                                    sigma_max=14.6)
+
+    @jax.jit
+    def draw(state):
+        return fn(state, jnp.asarray(1.0), jnp.asarray(0.9))[0]
+
+    dt = _timeit_slope(draw, state0)
+    npix = 1
+    for d in big:
+        npix *= d
+    return npix / dt / 1e6
 
 
 def bench_torch_cpu_anchor(shape=(1, 4, 128, 128), iters=10) -> float:
@@ -137,7 +206,7 @@ def bench_power_noise_mpix(shape=(1, 4, 128, 128), iters=50) -> float:
 
         return jax.lax.scan(body, state, None, length=iters)[1]
 
-    dt = _timeit_min(draw_many, state0, warmup=1, reps=8)
+    dt = _timeit_slope(draw_many, state0)
     npix = 1
     for d in shape:
         npix *= d
@@ -175,22 +244,20 @@ def bench_hw_rng_speedup(shape=(1, 4, 128, 128), iters=50, reps=8) -> float:
         return draw_many, state0
 
     # the flag is read at trace time: trace each variant under its setting
+    # the flag is read at TRACE time (the first call): warm each variant
+    # under its own env setting before switching
     os.environ["SONAR_TPU_HW_RNG"] = "0"
     tf_fn, tf_st = build_fn()
-    jax.block_until_ready(tf_fn(tf_st))
+    _force(tf_fn(tf_st))
     os.environ["SONAR_TPU_HW_RNG"] = "1"
     hw_fn, hw_st = build_fn()
-    jax.block_until_ready(hw_fn(hw_st))
+    _force(hw_fn(hw_st))
     os.environ["SONAR_TPU_HW_RNG"] = "0"
-    best_tf = best_hw = float("inf")
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        jax.block_until_ready(tf_fn(tf_st))
-        best_tf = min(best_tf, time.perf_counter() - t0)
-        t0 = time.perf_counter()
-        jax.block_until_ready(hw_fn(hw_st))
-        best_hw = min(best_hw, time.perf_counter() - t0)
-    return best_tf / best_hw
+    # slope timing per variant: single forced timings are dominated by the
+    # ~30ms tunnel round trip, which compresses every ratio toward 1
+    t_tf = _timeit_slope(tf_fn, tf_st, reps=max(2, reps // 2))
+    t_hw = _timeit_slope(hw_fn, hw_st, reps=max(2, reps // 2))
+    return t_tf / t_hw
 
 
 def bench_fused_pyramid_speedup(noise_type="pyramid", shape=(4, 4, 512, 512),
@@ -221,22 +288,18 @@ def bench_fused_pyramid_speedup(noise_type="pyramid", shape=(4, 4, 512, 512),
 
         return draw_many, state0
 
+    # the flag is read at TRACE time (the first call): warm each variant
+    # under its own env setting before switching
     os.environ["SONAR_TPU_FUSED_PYRAMID"] = "0"
     xla_fn, xla_st = build_fn()
-    jax.block_until_ready(xla_fn(xla_st))
+    _force(xla_fn(xla_st))
     os.environ["SONAR_TPU_FUSED_PYRAMID"] = "1"
     fused_fn, fused_st = build_fn()
-    jax.block_until_ready(fused_fn(fused_st))
+    _force(fused_fn(fused_st))
     os.environ["SONAR_TPU_FUSED_PYRAMID"] = "0"
-    best_xla = best_fused = float("inf")
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        jax.block_until_ready(xla_fn(xla_st))
-        best_xla = min(best_xla, time.perf_counter() - t0)
-        t0 = time.perf_counter()
-        jax.block_until_ready(fused_fn(fused_st))
-        best_fused = min(best_fused, time.perf_counter() - t0)
-    return best_xla / best_fused
+    t_xla = _timeit_slope(xla_fn, xla_st, reps=max(2, reps // 2))
+    t_fused = _timeit_slope(fused_fn, fused_st, reps=max(2, reps // 2))
+    return t_xla / t_fused
 
 
 # ---------------------------------------------------------------------------
@@ -356,6 +419,7 @@ _METRIC_ENV = {
 _SINGLE["noise_hw"] = bench_noise_mpix_per_sec
 _SINGLE["hw_ab"] = bench_hw_rng_speedup
 _SINGLE["noise_fused"] = bench_noise_mpix_per_sec
+_SINGLE["noise_bulk"] = bench_noise_bulk_mpix
 _SINGLE["fused_ab"] = bench_fused_pyramid_speedup
 _SINGLE["fused_old_ab"] = functools.partial(
     bench_fused_pyramid_speedup, "pyramid_old", (1, 4, 128, 128), 20)
@@ -402,6 +466,7 @@ def main():
     mpix_hw = _run_isolated("noise_hw")
     hw_ratio = _run_isolated("hw_ab")
     mpix_fused = _run_isolated("noise_fused")
+    mpix_bulk = _run_isolated("noise_bulk")
     fused_ratio = _run_isolated("fused_ab")
     fused_old_ratio = _run_isolated("fused_old_ab")
     fused_highres_ratio = _run_isolated("fused_highres_ab")
@@ -426,6 +491,7 @@ def main():
                     # degraded phases that poison cross-process comparisons
                     "hw_rng_pyramid_speedup_ratio": round(hw_ratio, 4),
                     "noise_pyramid_fused_mpix_per_sec": round(mpix_fused, 3),
+                    "noise_pyramid_bulk_mpix_per_sec": round(mpix_bulk, 3),
                     # fused-pyramid Pallas kernels vs XLA path, interleaved
                     # same-process A/Bs (kernels/fused_pyramid.py); the
                     # pyramid ratio is at the bandwidth-dominated 512x512

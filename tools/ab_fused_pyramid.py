@@ -13,6 +13,8 @@ import time
 import jax
 import jax.numpy as jnp
 
+from bench import _force, _timeit_slope
+
 NOISE_TYPE = "pyramid"
 
 
@@ -51,23 +53,19 @@ def main():
     os.environ["SONAR_TPU_FUSED_PYRAMID"] = "0"
     xla_fn, xla_st = build_fn(shape, iters)
     out_x = xla_fn(xla_st)
-    jax.block_until_ready(out_x)
+    _force(out_x)
     print("xla   stats: mean %.4f std %.4f" % (float(out_x.mean()), float(out_x.std())), flush=True)
     os.environ["SONAR_TPU_FUSED_PYRAMID"] = "1"
     fused_fn, fused_st = build_fn(shape, iters)
     out_f = fused_fn(fused_st)
-    jax.block_until_ready(out_f)
+    _force(out_f)
     print("fused stats: mean %.4f std %.4f" % (float(out_f.mean()), float(out_f.std())), flush=True)
     os.environ["SONAR_TPU_FUSED_PYRAMID"] = "0"
 
-    best_x = best_f = float("inf")
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        jax.block_until_ready(xla_fn(xla_st))
-        best_x = min(best_x, time.perf_counter() - t0)
-        t0 = time.perf_counter()
-        jax.block_until_ready(fused_fn(fused_st))
-        best_f = min(best_f, time.perf_counter() - t0)
+    # slope timing: single forced timings are dominated by the ~30ms
+    # tunnel round trip (bench._timeit_slope docs)
+    best_x = _timeit_slope(xla_fn, xla_st, reps=max(2, reps // 2))
+    best_f = _timeit_slope(fused_fn, fused_st, reps=max(2, reps // 2))
     print("shape=%s iters=%d" % (shape, iters))
     print("xla:   %.3f ms  %.1f GPix/s" % (best_x * 1e3, npix / best_x / 1e9))
     print("fused: %.3f ms  %.1f GPix/s" % (best_f * 1e3, npix / best_f / 1e9))

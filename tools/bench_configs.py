@@ -27,7 +27,7 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 import jax
 import jax.numpy as jnp
 
-from bench import _SDXL_STEPS, _sdxl_setup, _time_pipeline, _timeit_min
+from bench import _SDXL_STEPS, _sdxl_setup, _time_pipeline, _timeit_slope
 
 
 def bench_config2_per_call_ms() -> float:
@@ -105,7 +105,7 @@ def bench_sdxl_euler_per_call_ms() -> float:
 _VIDEO_SHAPE = (1, 4, 16, 128, 128)  # 16 frames at the 1024px-equiv latent
 
 
-def _noise_mpix(item, shape, iters=20, reps=8) -> float:
+def _noise_mpix(item, shape, iters=20, g2=8) -> float:
     from sonar_tpu.noise.base import make_noise_sampler
 
     fn, state0 = make_noise_sampler(item, shape, seed=3, sigma_min=0.03,
@@ -119,7 +119,7 @@ def _noise_mpix(item, shape, iters=20, reps=8) -> float:
 
         return jax.lax.scan(body, state, None, length=iters)[1]
 
-    dt = _timeit_min(draw_many, state0, warmup=1, reps=reps)
+    dt = _timeit_slope(draw_many, state0, g1=2, g2=g2)
     npix = 1
     for d in shape:
         npix *= d
