@@ -3,11 +3,12 @@
 The ``pyramid`` generator (reference py/noise_generation.py:609-649) is
 ``randn(H,W) + Σ_i upsample(randn(h_i,w_i)) · discount^i`` with a
 build-time random size ladder whose first entry is always full size.
-Under XLA each upsampled level materializes a full (H,W) array in HBM and
-the accumulation re-reads it: measured ~133 GPix/s on v5e ≈ 1.55 bytes of
-HBM traffic per output byte (write roofline ~0.82 TB/s → ~205 GPix/s).
-
-This kernel removes all intermediate traffic:
+Under XLA each upsampled level materializes a full (H,W) array in HBM,
+the accumulation re-reads it, and each level costs separate op dispatches
+inside the scan body. This kernel removes all intermediate arrays and
+collapses the ladder into one program per draw (measured speedups:
+profiles/ANALYSIS.md section 4 — pyramid 2.2-18x, and 12-327x for the
+downscale ladders below):
 
 - the two full-size gaussians (the base draw and ladder level 0, whose
   resize is the identity) are generated *in VMEM* by the TPU hardware

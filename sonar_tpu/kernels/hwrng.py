@@ -6,13 +6,13 @@ hardware PRNG reachable only from Pallas (``pltpu.prng_seed`` /
 with a Box-Muller transform so N(0,1) samples are produced in one VMEM
 pass — eliminating the PRNG ALU cost entirely.
 
-Measured result (profiles/ANALYSIS.md §1): throughput is UNCHANGED vs
-``jax.random.normal`` (interleaved min-of-N ratios 0.87-1.22 across runs,
-both ~0.5 TB/s of HBM writes) — noise generation on v5e is memory-bound
-and XLA already hides the threefry compute behind the writes. The kernel
-stays as (a) experimental proof that the noise path is at its roofline and
-(b) the substrate for workloads where the balance shifts (e.g. sub-fp32
-noise with 2-4x less HBM traffic per element).
+Measured result (profiles/ANALYSIS.md §1, §5): throughput is UNCHANGED vs
+``jax.random.normal`` (slope-timed ratios 0.88-1.03 across runs) — XLA
+already hides the threefry compute behind the rest of the noise program,
+so the PRNG ALU is not where noise time goes. The kernel stays as (a)
+experimental proof of that, and (b) the in-VMEM generation substrate of
+kernels/fused_pyramid.py, where deleting whole intermediate arrays (not
+ALU work) wins 2-300x.
 
 Determinism: the stream is a pure function of (seed, shape) on TPU — each
 grid block reseeds with (seed, block_index), so the same call always

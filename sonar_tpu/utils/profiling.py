@@ -31,6 +31,10 @@ class StepTimer:
 
     def __call__(self, info: dict) -> None:
         if self.sync and "x" in info:
+            # NOTE: through remote-execution transports block_until_ready
+            # may resolve before execution completes (see bench._force);
+            # per-step wall times are lower bounds there. On directly
+            # attached devices this is exact.
             jax.block_until_ready(info["x"])
         now = time.perf_counter()
         if self._last is not None:

@@ -77,6 +77,11 @@ def _radial_band_fractions(batch: np.ndarray) -> np.ndarray:
 
 
 def _draw_reference(name: str) -> np.ndarray:
+    # the reference draws from torch's GLOBAL RNG (e.g. pyramid's random
+    # per-iteration resize factors, py/noise_generation.py:626-630), so its
+    # stream depends on whatever ran earlier in this process; pin it or the
+    # spectral comparison is order-dependent across the suite
+    torch.manual_seed(1234)
     x = torch.zeros(SHAPE)
     ns = ref_noise.get_noise_sampler(
         name, x, SIGMA_MIN, SIGMA_MAX, seed=1234, cpu=True, normalized=True)
