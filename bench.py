@@ -415,11 +415,13 @@ _TIMEOUTS = {"sdxl_euler": 1800, "sdxl_config3": 1800}
 _METRIC_ENV = {
     "noise_hw": {"SONAR_TPU_HW_RNG": "1"},
     "noise_fused": {"SONAR_TPU_FUSED_PYRAMID": "1"},
+    "noise_bulk_fused": {"SONAR_TPU_FUSED_PYRAMID": "1"},
 }
 _SINGLE["noise_hw"] = bench_noise_mpix_per_sec
 _SINGLE["hw_ab"] = bench_hw_rng_speedup
 _SINGLE["noise_fused"] = bench_noise_mpix_per_sec
 _SINGLE["noise_bulk"] = bench_noise_bulk_mpix
+_SINGLE["noise_bulk_fused"] = bench_noise_bulk_mpix
 _SINGLE["fused_ab"] = bench_fused_pyramid_speedup
 _SINGLE["fused_old_ab"] = functools.partial(
     bench_fused_pyramid_speedup, "pyramid_old", (1, 4, 128, 128), 20)
@@ -467,6 +469,7 @@ def main():
     hw_ratio = _run_isolated("hw_ab")
     mpix_fused = _run_isolated("noise_fused")
     mpix_bulk = _run_isolated("noise_bulk")
+    mpix_bulk_fused = _run_isolated("noise_bulk_fused")
     fused_ratio = _run_isolated("fused_ab")
     fused_old_ratio = _run_isolated("fused_old_ab")
     fused_highres_ratio = _run_isolated("fused_highres_ab")
@@ -492,6 +495,8 @@ def main():
                     "hw_rng_pyramid_speedup_ratio": round(hw_ratio, 4),
                     "noise_pyramid_fused_mpix_per_sec": round(mpix_fused, 3),
                     "noise_pyramid_bulk_mpix_per_sec": round(mpix_bulk, 3),
+                    "noise_pyramid_bulk_fused_mpix_per_sec":
+                        round(mpix_bulk_fused, 3),
                     # fused-pyramid Pallas kernels vs XLA path, interleaved
                     # same-process A/Bs (kernels/fused_pyramid.py); the
                     # pyramid ratio is at the bandwidth-dominated 512x512
