@@ -47,23 +47,6 @@ def _timeit(fn, *args, warmup=2, iters=10):
     return (time.perf_counter() - t0) / iters
 
 
-def _timeit_min(fn, *args, warmup=1, reps=8):
-    """Min-of-reps timing with per-rep readback forcing (see _force): the
-    tunnel adds large, one-sided latency noise, and the minimum is the
-    standard robust statistic against one-sided contamination. Each rep
-    includes one host round-trip (~25-35ms measured); interpret sub-100ms
-    results as upper bounds on true device time — use _timeit_slope for
-    fast programs."""
-    for _ in range(warmup):
-        _force(fn(*args))
-    best = float("inf")
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        _force(fn(*args))
-        best = min(best, time.perf_counter() - t0)
-    return best
-
-
 def _group_time(fn, args, G, reps):
     best = float("inf")
     for _ in range(reps):
@@ -73,6 +56,28 @@ def _group_time(fn, args, G, reps):
         _force(out)
         best = min(best, time.perf_counter() - t0)
     return best
+
+
+def _ab_slope(fn_a, args_a, fn_b, args_b, g1=4, g2=16, reps=4):
+    """Slope-timed A/B with INTERLEAVED groups: each rep times a group of
+    A then a group of B at both sizes, so both variants sample the same
+    tunnel phase (the degraded phases last longer than one group)."""
+    best = {("a", g1): float("inf"), ("a", g2): float("inf"),
+            ("b", g1): float("inf"), ("b", g2): float("inf")}
+    for _ in range(reps):
+        for g in (g1, g2):
+            for tag, f, a in (("a", fn_a, args_a), ("b", fn_b, args_b)):
+                t0 = time.perf_counter()
+                for _ in range(g):
+                    out = f(*a)
+                _force(out)
+                best[(tag, g)] = min(best[(tag, g)],
+                                     time.perf_counter() - t0)
+    sa = max((best[("a", g2)] - best[("a", g1)]) / (g2 - g1),
+             best[("a", g2)] / g2 * 1e-3)
+    sb = max((best[("b", g2)] - best[("b", g1)]) / (g2 - g1),
+             best[("b", g2)] / g2 * 1e-3)
+    return sa / sb
 
 
 def _timeit_slope(fn, *args, g1=4, g2=16, reps=4):
@@ -88,7 +93,13 @@ def _timeit_slope(fn, *args, g1=4, g2=16, reps=4):
     _force(fn(*args))  # warm
     t1 = _group_time(fn, args, g1, reps)
     t2 = _group_time(fn, args, g2, reps)
-    return max((t2 - t1) / (g2 - g1), 1e-9)
+    slope = (t2 - t1) / (g2 - g1)
+    if slope <= 0:
+        # RTT noise swamped the subtraction (program much faster than the
+        # round trip): fall back to the conservative per-exec upper bound
+        # instead of reporting absurd throughput
+        return t2 / g2
+    return slope
 
 
 def bench_sampler_steps_per_sec(steps: int = 20, shape=(1, 4, 64, 64)) -> float:
@@ -253,11 +264,10 @@ def bench_hw_rng_speedup(shape=(1, 4, 128, 128), iters=50, reps=8) -> float:
     hw_fn, hw_st = build_fn()
     _force(hw_fn(hw_st))
     os.environ["SONAR_TPU_HW_RNG"] = "0"
-    # slope timing per variant: single forced timings are dominated by the
-    # ~30ms tunnel round trip, which compresses every ratio toward 1
-    t_tf = _timeit_slope(tf_fn, tf_st, reps=max(2, reps // 2))
-    t_hw = _timeit_slope(hw_fn, hw_st, reps=max(2, reps // 2))
-    return t_tf / t_hw
+    # interleaved slope A/B: cancels both the ~30ms readback round trip
+    # (which compresses single-forced ratios toward 1) and tunnel phases
+    return _ab_slope(tf_fn, (tf_st,), hw_fn, (hw_st,),
+                     reps=max(2, reps // 2))
 
 
 def bench_fused_pyramid_speedup(noise_type="pyramid", shape=(4, 4, 512, 512),
@@ -297,9 +307,8 @@ def bench_fused_pyramid_speedup(noise_type="pyramid", shape=(4, 4, 512, 512),
     fused_fn, fused_st = build_fn()
     _force(fused_fn(fused_st))
     os.environ["SONAR_TPU_FUSED_PYRAMID"] = "0"
-    t_xla = _timeit_slope(xla_fn, xla_st, reps=max(2, reps // 2))
-    t_fused = _timeit_slope(fused_fn, fused_st, reps=max(2, reps // 2))
-    return t_xla / t_fused
+    return _ab_slope(xla_fn, (xla_st,), fused_fn, (fused_st,),
+                     reps=max(2, reps // 2))
 
 
 # ---------------------------------------------------------------------------
@@ -407,8 +416,11 @@ _SINGLE = {
     "sdxl_config3": bench_sdxl_config3_per_call_ms,
 }
 
-# the SDXL-scale runs compile a 664M-param UNet through the TPU tunnel
-_TIMEOUTS = {"sdxl_euler": 1800, "sdxl_config3": 1800}
+# the SDXL-scale runs compile a 664M-param UNet through the TPU tunnel;
+# first pallas remote-compiles can take minutes
+_TIMEOUTS = {"sdxl_euler": 1800, "sdxl_config3": 1800, "noise_fused": 1200,
+             "noise_bulk_fused": 1200, "fused_ab": 1200,
+             "fused_old_ab": 1200, "fused_highres_ab": 1200, "hw_ab": 1200}
 
 # per-metric env overrides (noise_hw = the pyramid metric with the
 # hardware-PRNG Pallas kernel enabled — profiles/ANALYSIS.md §1)
@@ -453,7 +465,18 @@ def _run_isolated(name: str) -> float:
         )
         return float(out.stdout.strip().splitlines()[-1])
     except Exception:
-        return _SINGLE[name]()
+        # in-process fallback must still see the metric's env overrides
+        # (e.g. the fused flag is read at trace time)
+        old = {k: os.environ.get(k) for k in _METRIC_ENV.get(name, {})}
+        os.environ.update(_METRIC_ENV.get(name, {}))
+        try:
+            return _SINGLE[name]()
+        finally:
+            for k, v in old.items():
+                if v is None:
+                    os.environ.pop(k, None)
+                else:
+                    os.environ[k] = v
 
 
 def main():
@@ -490,16 +513,16 @@ def main():
                     "batch8_latent_steps_per_sec": round(b8, 3),
                     "noise_pyramid_mpix_per_sec": round(mpix, 3),
                     "noise_pyramid_hw_rng_mpix_per_sec": round(mpix_hw, 3),
-                    # interleaved same-process A/B — robust to the tunnel's
-                    # degraded phases that poison cross-process comparisons
+                    # interleaved-group slope A/B (_ab_slope): cancels the
+                    # readback RTT and samples both variants in each phase
                     "hw_rng_pyramid_speedup_ratio": round(hw_ratio, 4),
                     "noise_pyramid_fused_mpix_per_sec": round(mpix_fused, 3),
                     "noise_pyramid_bulk_mpix_per_sec": round(mpix_bulk, 3),
                     "noise_pyramid_bulk_fused_mpix_per_sec":
                         round(mpix_bulk_fused, 3),
-                    # fused-pyramid Pallas kernels vs XLA path, interleaved
-                    # same-process A/Bs (kernels/fused_pyramid.py); the
-                    # pyramid ratio is at the bandwidth-dominated 512x512
+                    # fused-pyramid Pallas kernels vs XLA path,
+                    # interleaved-group slope A/Bs (kernels/fused_pyramid.py);
+                    # the pyramid ratio is at the traffic-dominated 512x512
                     "fused_pyramid_512_speedup_ratio": round(fused_ratio, 4),
                     "fused_pyramid_old_speedup_ratio":
                         round(fused_old_ratio, 4),

@@ -122,9 +122,6 @@ class PortResult:
         return "\n".join(lines)
 
 
-_HOST_ARRAY_INPUTS = ("latent", "mask", "image", "ref_latent_opt",
-                      "latent_opt")
-
 # names that old workflows embed but the reference itself later renamed
 # (reference changelog.md:101-102 — "implementation was incorrect" renames;
 # :156 — studentt_test was the interim name of today's studentt)
@@ -142,7 +139,8 @@ def _is_link(v, graph) -> bool:
 def port_workflow(source, *, model_sampling=None, externals=None,
                   validate: bool = True) -> PortResult:
     """Build every sonar node of a ComfyUI workflow. See module docs."""
-    graph = read_workflow(source)
+    graph = {nid: node for nid, node in read_workflow(source).items()
+             if isinstance(node, dict)}  # tolerate non-node top-level junk
     externals = dict(externals or {})
     res = PortResult()
     res.classes = {nid: node.get("class_type", "?")
@@ -276,6 +274,12 @@ def pipeline_from_workflow(source, *, model, model_uncond=None,
                 if res.classes[nid] in SAMPLER_NODE_CLASSES}
     sampler = None
     if sampler_node is not None:
+        if sampler_node not in samplers:
+            raise ValueError(
+                f"sampler_node {sampler_node!r} is not a built sampler node"
+                + (f" (it failed: {res.failed[sampler_node]})"
+                   if sampler_node in res.failed else "")
+                + f"; built sampler nodes: {sorted(samplers) or 'none'}")
         sampler = samplers[sampler_node]
     elif samplers:
         nid = list(samplers)[-1]
@@ -299,6 +303,16 @@ def pipeline_from_workflow(source, *, model, model_uncond=None,
                 f"multiple unconsumed noise chains: pipeline uses {nid}")
     if wcfgs:
         kwargs.setdefault("wavelet_cfg", wcfgs[-1])
+    # SonarApplyLatentOperationCFG builds a (patch_fn, hook) pair — wire it
+    latent_ops = [res.built[nid] for nid in res.built
+                  if res.classes[nid] == "SonarApplyLatentOperationCFG"]
+    if latent_ops:
+        kwargs.setdefault("latent_op_cfg", latent_ops[-1])
+        if len(latent_ops) > 1:
+            res.warnings.append(
+                "multiple SonarApplyLatentOperationCFG nodes: pipeline "
+                "applies only the last; chain operations into one node for "
+                "combined behavior")
     pipe = SonarPipeline(model=model, model_uncond=model_uncond,
                          model_sampling=model_sampling, **kwargs)
     return pipe, res

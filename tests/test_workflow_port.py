@@ -150,3 +150,28 @@ def test_pipeline_from_workflow_warns_on_multiple_samplers():
     out = jax.jit(lambda v: pipe(v, sigmas))(
         jax.random.normal(jax.random.key(1), (1, 4, 16, 16)) * 14.6)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_pipeline_wires_latent_op_cfg_and_sampler_node_errors():
+    from sonar_tpu.api import pipeline_from_workflow
+
+    g = {
+        "1": {"class_type": "SonarLatentOperationAdvanced",
+              "inputs": {"input_multiplier": 1.0, "output_multiplier": 1.0,
+                         "difference_multiplier": 1.0}},
+        "2": {"class_type": "SonarApplyLatentOperationCFG",
+              "inputs": {"operation": ["1", 0], "mode": "denoised"}},
+        "3": "top-level junk the parser must tolerate",
+    }
+    model = lambda x, sb, **kw: x * 0.95  # noqa: E731
+    pipe, res = pipeline_from_workflow(g, model=model)
+    assert not res.failed, res.summary()
+    assert pipe.latent_op_cfg is not None
+    sigmas = jnp.concatenate([jnp.linspace(14.6, 0.03, 5),
+                              jnp.zeros((1,))]).astype(jnp.float32)
+    out = jax.jit(lambda v: pipe(v, sigmas))(
+        jax.random.normal(jax.random.key(2), (1, 4, 16, 16)) * 14.6)
+    assert np.isfinite(np.asarray(out)).all()
+
+    with pytest.raises(ValueError, match="built sampler nodes"):
+        pipeline_from_workflow(g, model=model, sampler_node="1")

@@ -43,7 +43,9 @@ def main():
     if argv and not argv[-1].isdigit():
         NOISE_TYPE = argv.pop()
     args = [int(a) for a in argv]
-    b, c, h, w = (args + [4, 4, 512, 512])[:4] if len(args) >= 4 else (4, 4, 512, 512)
+    if 0 < len(args) < 4:
+        sys.exit("pass 4+ sizes (B C H W [ITERS REPS]) or none for defaults")
+    b, c, h, w = args[:4] if len(args) >= 4 else (4, 4, 512, 512)
     iters = args[4] if len(args) >= 5 else 50
     reps = args[5] if len(args) >= 6 else 10
     print("noise type:", NOISE_TYPE)
