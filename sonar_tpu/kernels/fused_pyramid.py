@@ -293,6 +293,9 @@ def _make_down_kernel(levels, mode: str, gen: bool, has_base: bool,
                 # identity level, or nearest taps: a single fresh field
                 acc = acc + fields(li, 1)[0] * coef
                 continue
+            if mode == "area":
+                acc = acc + fields(li, 1)[0] * (coef * _area_std(sh, sw, h, w))
+                continue
             wr0, wr1 = _down_weights(h, sh, tile, t, 0)
             wc0, wc1 = _down_weights(w, sw, tile, t, 1)
             g00, g01, g10, g11 = fields(li, 4)
@@ -305,15 +308,28 @@ def _make_down_kernel(levels, mode: str, gen: bool, has_base: bool,
 
 def fused_downscale_supported(sizes, h: int, w: int, mode: str) -> bool:
     """Every level must be the identity or a >=2x downscale per axis (the
-    tap-injectivity condition) in a supported separable mode."""
-    return (
-        pltpu is not None
-        and len(sizes) >= 1
-        and mode in ("bilinear", "nearest", "nearest-exact")
-        and h % _SUBLANE == 0
-        and all((sh == h and sw == w) or (sh >= 2 * h and sw >= 2 * w)
-                for sh, sw in sizes)
-    )
+    tap-injectivity condition) in a supported separable mode. ``area``
+    additionally needs integer scales: its blocks then partition the
+    source, so the level collapses to a fresh field scaled by
+    1/sqrt(block size) — see _area_std."""
+    if (pltpu is None or len(sizes) < 1 or h % _SUBLANE
+            or mode not in ("bilinear", "nearest", "nearest-exact", "area")):
+        return False
+    for sh, sw in sizes:
+        if sh == h and sw == w:
+            continue
+        if sh < 2 * h or sw < 2 * w:
+            return False
+        if mode == "area" and (sh % h or sw % w):
+            return False
+    return True
+
+
+def _area_std(sh: int, sw: int, h: int, w: int) -> float:
+    """Area-downscale of iid N(0,1) at integer scale: each output pixel
+    averages an exclusive (sh/h)x(sw/w) block -> fresh iid field with std
+    1/sqrt(block size) (blocks partition the source; outputs independent)."""
+    return 1.0 / math.sqrt((sh // h) * (sw // w))
 
 
 @functools.partial(

@@ -164,3 +164,33 @@ def test_downscale_supported_gating():
     # 1 < scale < 2 violates tap injectivity
     assert not fused_downscale_supported([(24, 200)], 16, 128, "bilinear")
     assert not fused_downscale_supported([(32, 256)], 16, 128, "bicubic")
+
+
+def test_downscale_area_mode():
+    from sonar_tpu.kernels.fused_pyramid import (_area_std,
+                                                 fused_downscale_accumulate,
+                                                 fused_downscale_supported)
+
+    # gating: integer scales only
+    assert fused_downscale_supported([(32, 256)], 16, 128, "area") in (True,
+                                                                       False)
+    assert not fused_downscale_supported([(33, 256)], 16, 128, "area")
+
+    # the analytic fresh-field std must match the real area resize of iid
+    # noise: blocks partition the source, output std = 1/sqrt(block size)
+    bc, h, w, sh, sw = 8, 16, 128, 64, 512
+    big = jax.random.normal(jax.random.key(7), (bc, sh, sw), jnp.float32)
+    down = np.asarray(scale_samples(big, w, h, mode="area"))
+    assert abs(down.std() / _area_std(sh, sw, h, w) - 1.0) < 0.03
+    # outputs are independent across pixels (blocks are exclusive)
+    flat = down.reshape(bc, -1)
+    corr = np.corrcoef(flat[:, 0], flat[:, 1])[0, 1]
+    assert abs(corr) < 0.7  # bc=8 samples: loose bound, catches sharing
+
+    # kernel formula: base + coef * area_std * g00, exactly
+    g = jax.random.normal(jax.random.key(8), (1, 4, h, w), jnp.float32)
+    base = jax.random.normal(jax.random.key(9), (1, h, w), jnp.float32)
+    got = fused_downscale_accumulate([g], (h, w), [(sh, sw)], [0.7],
+                                     mode="area", base=base, interpret=True)
+    want = np.asarray(base) + 0.7 * _area_std(sh, sw, h, w) * np.asarray(g[:, 0])
+    np.testing.assert_allclose(np.asarray(got), want, rtol=0, atol=2e-6)
