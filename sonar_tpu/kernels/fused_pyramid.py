@@ -57,7 +57,12 @@ _MAX_TILE_ROWS = 256
 
 
 def use_fused_pyramid() -> bool:
-    """Opt-in fused pyramid kernel (TPU only): SONAR_TPU_FUSED_PYRAMID=1."""
+    """Opt-in fused pyramid kernels (TPU only): SONAR_TPU_FUSED_PYRAMID=1.
+
+    Single-chip path: under a sharded jit GSPMD treats the pallas_call as
+    an opaque custom call (no automatic partitioning) — for dp-sharded
+    multi-chip sampling keep the default XLA path, which partitions
+    cleanly."""
     return (os.environ.get("SONAR_TPU_FUSED_PYRAMID", "0") != "0"
             and jax.default_backend() == "tpu")
 
