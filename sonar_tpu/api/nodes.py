@@ -750,6 +750,16 @@ def noise_image_node(*, image, **kwargs):
     return noise_image(jnp.asarray(image), custom_noise=custom, **kwargs)
 
 
+@register_node("BasicScheduler")
+def basic_scheduler(*, scheduler="normal", steps=20, denoise=1.0,
+                    model_sampling=None):
+    """ComfyUI core scheduler node, implemented natively so ported
+    workflows carry their sigma schedules (samplers/schedules.py)."""
+    from ..samplers.schedules import get_sigmas
+
+    return get_sigmas(scheduler, steps, model_sampling, denoise=denoise)
+
+
 @register_node("SonarToComfyNOISE")
 def to_comfy_noise(*, sonar_custom_noise, **kwargs):
     """Adapter exposing ComfyUI's NOISE protocol surface

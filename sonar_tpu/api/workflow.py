@@ -101,6 +101,16 @@ class PortResult:
     consumed: set = field(default_factory=set)
 
     @property
+    def sigmas(self):
+        """The last scheduler node's sigma schedule, if the workflow
+        carried one (BasicScheduler builds natively)."""
+        out = None
+        for nid, obj in self.built.items():
+            if self.classes[nid] == "BasicScheduler":
+                out = obj
+        return out
+
+    @property
     def noise_roots(self) -> dict[str, Any]:
         """Built noise items no other built node consumed (the workflow's
         end-product noise chains)."""

@@ -1,6 +1,7 @@
 from .ancestral import get_ancestral_step, to_d
 from .momentum import GuidanceConfig, HistoryType, MomentumMode, SonarConfig
 from .restart import RestartSegment, default_segments, sample_restart
+from .schedules import SCHEDULERS, get_sigmas
 from .sonar import (
     sample_sonar_dpmpp_sde,
     sample_sonar_euler,

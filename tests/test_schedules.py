@@ -1,0 +1,81 @@
+"""Sigma schedules (samplers/schedules.py) — the ComfyUI scheduler family
+every ported workflow depends on for its BasicScheduler node."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sonar_tpu.cfg import DiscreteSampling
+from sonar_tpu.samplers import SCHEDULERS, get_sigmas
+from sonar_tpu.samplers.restart import karras_sigmas as restart_karras
+
+MS = DiscreteSampling()
+
+
+@pytest.mark.parametrize("name", sorted(SCHEDULERS))
+def test_schedule_shape_and_monotonicity(name):
+    sig = np.asarray(get_sigmas(name, 20, MS))
+    assert sig.shape == (21,)
+    assert sig[-1] == 0.0
+    assert np.all(np.diff(sig[:-1]) < 0), f"{name} not strictly descending"
+    assert sig[0] <= MS.sigma_max * 1.0001
+    assert sig[-2] >= MS.sigma_min * 0.999
+
+
+def test_karras_matches_restart_implementation():
+    ours = np.asarray(get_sigmas("karras", 15, MS))[:-1]
+    theirs = restart_karras(15, MS.sigma_min, MS.sigma_max)
+    np.testing.assert_allclose(ours, theirs, rtol=1e-5)
+
+
+def test_normal_endpoints_hit_table_bounds():
+    sig = np.asarray(get_sigmas("normal", 10, MS))
+    assert abs(sig[0] - MS.sigma_max) / MS.sigma_max < 1e-4
+    assert abs(sig[-2] - MS.sigma_min) / MS.sigma_min < 1e-3
+
+
+def test_sgm_uniform_skips_final_timestep():
+    normal = np.asarray(get_sigmas("normal", 10, MS))
+    sgm = np.asarray(get_sigmas("sgm_uniform", 10, MS))
+    assert sgm[-2] > normal[-2]  # last kept sigma is one step earlier
+
+
+def test_denoise_truncates_to_schedule_tail():
+    full = np.asarray(get_sigmas("karras", 40, MS))
+    part = np.asarray(get_sigmas("karras", 20, MS, denoise=0.5))
+    assert part.shape == (21,)
+    np.testing.assert_allclose(part, full[-21:], rtol=1e-6)
+    assert get_sigmas("karras", 20, MS, denoise=0.0).shape == (0,)
+
+
+def test_unknown_scheduler_is_actionable():
+    with pytest.raises(ValueError, match="valid:"):
+        get_sigmas("nope", 10, MS)
+
+
+def test_continuous_model_sampling_supported():
+    from sonar_tpu.cfg import ContinuousEDM
+
+    ms = ContinuousEDM()
+    for name in ("normal", "simple", "beta"):
+        sig = np.asarray(get_sigmas(name, 12, ms))
+        assert sig.shape == (13,)
+        assert np.all(np.diff(sig[:-1]) < 0)
+
+
+def test_basic_scheduler_node_and_workflow_port():
+    from sonar_tpu.api import build, port_workflow
+
+    sig = build("BasicScheduler", scheduler="karras", steps=12, denoise=1.0)
+    assert np.asarray(sig).shape == (13,)
+
+    g = {
+        "1": {"class_type": "BasicScheduler",
+              "inputs": {"scheduler": "karras", "steps": 8, "denoise": 1.0,
+                         "model": ["9", 0]}},
+        "9": {"class_type": "CheckpointLoaderSimple", "inputs": {}},
+    }
+    res = port_workflow(g)
+    assert not res.failed, res.summary()
+    assert res.sigmas is not None
+    assert np.asarray(res.sigmas).shape == (9,)
