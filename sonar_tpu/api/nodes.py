@@ -760,6 +760,30 @@ def basic_scheduler(*, scheduler="normal", steps=20, denoise=1.0,
     return get_sigmas(scheduler, steps, model_sampling, denoise=denoise)
 
 
+@register_node("KarrasScheduler")
+def karras_scheduler(*, steps=20, sigma_max=14.614642, sigma_min=0.0291675,
+                     rho=7.0):
+    from ..samplers.schedules import karras_sigmas
+
+    return karras_sigmas(steps, sigma_min, sigma_max, rho=rho)
+
+
+@register_node("ExponentialScheduler")
+def exponential_scheduler(*, steps=20, sigma_max=14.614642,
+                          sigma_min=0.0291675):
+    from ..samplers.schedules import exponential_sigmas
+
+    return exponential_sigmas(steps, sigma_min, sigma_max)
+
+
+@register_node("PolyexponentialScheduler")
+def polyexponential_scheduler(*, steps=20, sigma_max=14.614642,
+                              sigma_min=0.0291675, rho=1.0):
+    from ..samplers.schedules import polyexponential_sigmas
+
+    return polyexponential_sigmas(steps, sigma_min, sigma_max, rho=rho)
+
+
 @register_node("SonarToComfyNOISE")
 def to_comfy_noise(*, sonar_custom_noise, **kwargs):
     """Adapter exposing ComfyUI's NOISE protocol surface

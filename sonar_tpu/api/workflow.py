@@ -103,10 +103,10 @@ class PortResult:
     @property
     def sigmas(self):
         """The last scheduler node's sigma schedule, if the workflow
-        carried one (BasicScheduler builds natively)."""
+        carried one (BasicScheduler / *Scheduler nodes build natively)."""
         out = None
         for nid, obj in self.built.items():
-            if self.classes[nid] == "BasicScheduler":
+            if self.classes[nid].endswith("Scheduler"):
                 out = obj
         return out
 

@@ -79,3 +79,16 @@ def test_basic_scheduler_node_and_workflow_port():
     assert not res.failed, res.summary()
     assert res.sigmas is not None
     assert np.asarray(res.sigmas).shape == (9,)
+
+
+def test_custom_sampling_scheduler_nodes():
+    from sonar_tpu.api import build
+
+    for node, kw in (("KarrasScheduler", {"rho": 7.0}),
+                     ("ExponentialScheduler", {}),
+                     ("PolyexponentialScheduler", {"rho": 0.7})):
+        sig = np.asarray(build(node, steps=10, sigma_max=10.0,
+                               sigma_min=0.1, **kw))
+        assert sig.shape == (11,)
+        assert sig[-1] == 0.0 and np.all(np.diff(sig[:-1]) < 0)
+        assert abs(sig[0] - 10.0) < 1e-4 and abs(sig[-2] - 0.1) < 1e-5
