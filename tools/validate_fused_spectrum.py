@@ -51,7 +51,8 @@ def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 64
     shape = (1, 4, 128, 128)
     worst = 0.0
-    for nt in ("pyramid", "pyramid_old", "highres_pyramid"):
+    for nt in ("pyramid", "pyramid_old", "pyramid_old_area",
+               "highres_pyramid"):
         a = draws(nt, shape, n, "0")
         b = draws(nt, shape, n, "1")
         sa, sb = radial_spectrum(a), radial_spectrum(b)
