@@ -96,6 +96,31 @@ def beta_sigmas(ms, steps: int, alpha: float = 0.6,
     return _finish(table[idx])
 
 
+def kl_optimal_sigmas(steps: int, sigma_min: float,
+                      sigma_max: float) -> jnp.ndarray:
+    """KL-optimal spacing (Align Your Steps, Sabour et al. 2024 eq. 14):
+    sigma_i = tan of a linear ramp in atan-sigma space."""
+    t = np.linspace(0.0, 1.0, steps)
+    return _finish(np.tan((1.0 - t) * np.arctan(sigma_max)
+                          + t * np.arctan(sigma_min)))
+
+
+def linear_quadratic_sigmas(steps: int, threshold_noise: float = 0.025,
+                            linear_steps: int | None = None) -> jnp.ndarray:
+    """Linear-quadratic schedule (LTX-Video style, on the 0-1 noise scale):
+    linear to ``threshold_noise`` over the first segment, quadratic decay
+    after."""
+    if steps == 1:
+        return jnp.asarray([1.0, 0.0], jnp.float32)
+    lin = steps // 2 if linear_steps is None else min(linear_steps, steps)
+    ts = [i * threshold_noise / lin for i in range(lin)]
+    quad_steps = steps - lin
+    if quad_steps:
+        a = (1.0 - threshold_noise) / (quad_steps + 1) ** 2
+        ts += [threshold_noise + a * i**2 for i in range(1, quad_steps + 1)]
+    return _finish(1.0 - np.asarray(ts))
+
+
 SCHEDULERS = {
     "normal": lambda ms, n, **kw: normal_sigmas(ms, n),
     "sgm_uniform": lambda ms, n, **kw: normal_sigmas(ms, n, sgm=True),
@@ -112,6 +137,12 @@ SCHEDULERS = {
     "ddim_uniform": lambda ms, n, **kw: ddim_uniform_sigmas(ms, n),
     "beta": lambda ms, n, **kw: beta_sigmas(
         ms, n, alpha=kw.get("alpha", 0.6), beta=kw.get("beta", 0.6)),
+    "kl_optimal": lambda ms, n, **kw: kl_optimal_sigmas(
+        n, kw.get("sigma_min") or ms.sigma_min,
+        kw.get("sigma_max") or ms.sigma_max),
+    "linear_quadratic": lambda ms, n, **kw: linear_quadratic_sigmas(
+        n, threshold_noise=kw.get("threshold_noise", 0.025),
+        linear_steps=kw.get("linear_steps")),
 }
 
 

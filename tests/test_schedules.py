@@ -92,3 +92,18 @@ def test_custom_sampling_scheduler_nodes():
         assert sig.shape == (11,)
         assert sig[-1] == 0.0 and np.all(np.diff(sig[:-1]) < 0)
         assert abs(sig[0] - 10.0) < 1e-4 and abs(sig[-2] - 0.1) < 1e-5
+
+
+def test_kl_optimal_and_linear_quadratic():
+    sig = np.asarray(get_sigmas("kl_optimal", 16, MS))
+    assert sig.shape == (17,)
+    assert abs(sig[0] - MS.sigma_max) < 1e-3 and sig[-1] == 0.0
+    assert np.all(np.diff(sig[:-1]) < 0)
+
+    lq = np.asarray(get_sigmas("linear_quadratic", 16, MS))
+    assert lq.shape == (17,)
+    assert lq[0] == 1.0 and lq[-1] == 0.0
+    assert np.all(np.diff(lq) < 0)
+    # linear segment has constant decrements
+    d = np.diff(lq[:8])
+    np.testing.assert_allclose(d, d[0], rtol=1e-3)  # fp32 rounding
