@@ -78,5 +78,34 @@ def main():
     print(f"end-to-end sampling speedup: {t_x / t_f:.3f}x")
 
 
+def main_sdxl(nt="pyramid_old"):
+    """SDXL-scale variant: 664M-param UNet at 4x128x128, euler-ancestral
+    with CFG, per model call — the production-scale e2e number."""
+    from bench import _sdxl_setup, _time_pipeline
+    from sonar_tpu.api import SonarPipeline
+    from sonar_tpu.noise.presets import get_noise_item
+    from sonar_tpu.samplers import SonarConfig
+
+    def run(flag):
+        os.environ["SONAR_TPU_FUSED_PYRAMID"] = flag
+        cond, uncond, ms, sigmas, x0, params = _sdxl_setup()
+        pipe = SonarPipeline(model=cond, model_uncond=uncond,
+                             sampler="sonar_euler_ancestral",
+                             sonar_config=SonarConfig(momentum=0.95),
+                             noise=get_noise_item(nt), cfg_scale=7.0,
+                             model_sampling=ms, seed=7)
+        return _time_pipeline(pipe, params, x0, sigmas, stages=1)
+
+    t_x = run("0")
+    t_f = run("1")
+    os.environ["SONAR_TPU_FUSED_PYRAMID"] = "0"
+    print(f"SDXL e2e, noise={nt}: xla {t_x:.3f} ms/call, "
+          f"fused {t_f:.3f} ms/call, speedup {t_x / t_f:.3f}x")
+
+
 if __name__ == "__main__":
-    main()
+    if "--sdxl" in sys.argv:
+        sys.argv.remove("--sdxl")
+        main_sdxl(sys.argv[1] if len(sys.argv) > 1 else "pyramid_old")
+    else:
+        main()
