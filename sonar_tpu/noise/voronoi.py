@@ -46,6 +46,58 @@ def _parse_modes(spec: str, scale_key: str):
     return out
 
 
+_FIXED_PREFIX = {"f1": 1, "f2": 2, "f3": 3, "f4": 4,
+                 "inv_f1": 1, "inv_f2": 2, "inv_f3": 3, "inv_f4": 4,
+                 "cellid": 0, "fractal_norm": 0}
+
+
+def _mode_prefix(name, kw):
+    """How many smallest distances a result mode reads from env["sorted"]
+    (None = needs the full sort). The f/diff family only reads a tiny
+    ordered prefix, so a lax.top_k of the negation replaces a full
+    N-element per-pixel sort (N can be hundreds of feature points)."""
+    if name in _FIXED_PREFIX:
+        return _FIXED_PREFIX[name]
+    if name in ("f", "inv_f"):
+        return int(kw.get("idx", 0)) + 1
+    if name in ("diff", "diff2"):
+        return max(int(kw.get("idx1", 0)), int(kw.get("idx2", 1))) + 1
+    if name == "ridge":
+        return _mode_prefix(kw.get("name", "diff"), kw)
+    if name == "fuzz":
+        return _mode_prefix(kw.get("name", "f1"), kw)
+    if name == "gradient_magnitude":
+        a = _mode_prefix(kw.get("name1", "f4"), kw)
+        b = _mode_prefix(kw.get("name2", "f4"), kw)
+        return None if a is None or b is None else max(a, b)
+    if name == "softmin":
+        return None if kw.get("use_sorted") is not None else 0
+    return None  # median_distance / unknown: full sort
+
+
+def _sorted_prefix(parsed):
+    """Combined prefix requirement of a parsed `+`-composed mode list."""
+    k = 0
+    for name, kw, _scale in parsed:
+        mk = _mode_prefix(name, kw)
+        if mk is None:
+            return None
+        k = max(k, mk)
+    return k
+
+
+def _sorted_small(d, k):
+    """Ascending distances: full sort, or the k-smallest prefix via
+    lax.top_k when only a prefix is consumed (identical values; tie
+    ordering may differ, which no consumer observes)."""
+    if k is not None and 0 < k < d.shape[-1]:
+        neg, _ = jax.lax.top_k(-d, k)
+        return -neg
+    if k == 0:  # defensive: no mode should call sorted() in this case
+        return jnp.sort(d, axis=-1)
+    return jnp.sort(d, axis=-1)
+
+
 def _normalize_vec(d, axis=-1, eps=1e-12):
     return d / jnp.maximum(jnp.linalg.norm(d, axis=axis, keepdims=True), eps)
 
@@ -302,10 +354,11 @@ class VoronoiGenerator(Generator):
         fun = jnp.sin if mode == "sin" else jnp.cos
         d_adj = float(kw.pop("scale", 0.1)) * fun(d * float(kw.pop("multiplier", 10.0)))
         cache = {}
+        k = _mode_prefix(name, kw)
 
         def my_sorted():
             if "s" not in cache:
-                cache["s"] = jnp.sort(d_adj, axis=-1)
+                cache["s"] = _sorted_small(d_adj, k)
             return cache["s"]
 
         return self._res(name, d_adj, {**env, "sorted": my_sorted}, kw)
@@ -334,10 +387,11 @@ class VoronoiGenerator(Generator):
     def _apply_result(self, d, d_orig, octave, key):
         spec = self.result_mode[octave % len(self.result_mode)]
         cache = {}
+        k = _sorted_prefix(_parse_modes(spec, "rscale"))
 
         def get_sorted():
             if "s" not in cache:
-                cache["s"] = jnp.sort(d, axis=-1)
+                cache["s"] = _sorted_small(d, k)
             return cache["s"]
 
         env = {"d_orig": d_orig, "sorted": get_sorted, "key": key}

@@ -158,3 +158,53 @@ def test_heavy_generators_under_jit_scan():
 
     stds = np.asarray(run(st))
     assert np.isfinite(stds).all()
+
+
+def test_voronoi_topk_prefix_matches_full_sort():
+    """The lax.top_k sorted-prefix fast path must agree with the full
+    sort for every prefix-eligible result mode (voronoi.py _mode_prefix)."""
+    import jax
+
+    from sonar_tpu.noise import voronoi as V
+
+    d = jax.random.uniform(jax.random.key(3), (2, 3, 8, 8, 64))
+    full = jnp.sort(d, axis=-1)
+    for k in (1, 2, 4):
+        got = V._sorted_small(d, k)
+        assert got.shape[-1] == k
+        np.testing.assert_allclose(np.asarray(got),
+                                   np.asarray(full[..., :k]), rtol=0, atol=0)
+    # full-sort cases unchanged
+    np.testing.assert_array_equal(np.asarray(V._sorted_small(d, None)),
+                                  np.asarray(full))
+
+    # static prefix analysis over the mode mini-language
+    assert V._sorted_prefix(V._parse_modes("f1", "rscale")) == 1
+    assert V._sorted_prefix(V._parse_modes("f:idx=3", "rscale")) == 4
+    assert V._sorted_prefix(V._parse_modes("diff2+f2", "rscale")) == 2
+    assert V._sorted_prefix(V._parse_modes("median_distance", "rscale")) is None
+    assert V._sorted_prefix(
+        V._parse_modes("ridge:name=diff:idx2=3", "rscale")) == 4
+
+
+def test_voronoi_results_identical_with_prefix_path():
+    """End-to-end voronoi draws for prefix-eligible modes must be
+    bit-identical to a forced full-sort (the prefix holds the same
+    values)."""
+    from sonar_tpu.noise import voronoi as V
+    from sonar_tpu.noise.base import make_noise_sampler
+
+    for mode in ("f1", "diff2", "f:idx=2"):
+        gen = V.VoronoiGenerator(n_points=(16,), result_mode=(mode,))
+        fn, st = make_noise_sampler(gen, (1, 2, 16, 16), seed=5)
+        fast, _ = fn(st, None, None)
+
+        orig = V._sorted_prefix
+        try:
+            V._sorted_prefix = lambda parsed: None  # force full sort
+            gen2 = V.VoronoiGenerator(n_points=(16,), result_mode=(mode,))
+            fn2, st2 = make_noise_sampler(gen2, (1, 2, 16, 16), seed=5)
+            slow, _ = fn2(st2, None, None)
+        finally:
+            V._sorted_prefix = orig
+        np.testing.assert_array_equal(np.asarray(fast), np.asarray(slow))
