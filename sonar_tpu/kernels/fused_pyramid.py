@@ -317,7 +317,7 @@ def fused_downscale_supported(sizes, h: int, w: int, mode: str) -> bool:
     additionally needs integer scales: its blocks then partition the
     source, so the level collapses to a fresh field scaled by
     1/sqrt(block size) — see _area_std."""
-    if (pltpu is None or len(sizes) < 1 or h % _SUBLANE
+    if (pltpu is None or len(sizes) < 1 or h % _SUBLANE or w < _SUBLANE
             or mode not in ("bilinear", "nearest", "nearest-exact", "area")):
         return False
     for sh, sw in sizes:

@@ -59,9 +59,13 @@ def _mode_prefix(name, kw):
     if name in _FIXED_PREFIX:
         return _FIXED_PREFIX[name]
     if name in ("f", "inv_f"):
-        return int(kw.get("idx", 0)) + 1
+        idx = int(kw.get("idx", 0))
+        # negative idx is legal reference syntax (Python indexing from the
+        # end of the sorted distances) — needs the full sort, not a prefix
+        return None if idx < 0 else idx + 1
     if name in ("diff", "diff2"):
-        return max(int(kw.get("idx1", 0)), int(kw.get("idx2", 1))) + 1
+        i1, i2 = int(kw.get("idx1", 0)), int(kw.get("idx2", 1))
+        return None if i1 < 0 or i2 < 0 else max(i1, i2) + 1
     if name == "ridge":
         return _mode_prefix(kw.get("name", "diff"), kw)
     if name == "fuzz":

@@ -93,7 +93,11 @@ def beta_sigmas(ms, steps: int, alpha: float = 0.6,
     total = len(table) - 1
     ts = 1.0 - np.linspace(0.0, 1.0, steps, endpoint=False)
     idx = np.rint(stats.beta.ppf(ts, alpha, beta) * total).astype(int)
-    return _finish(table[idx])
+    # skip consecutive duplicate timesteps (upstream ``last_t != t`` filter):
+    # colliding ppf values would otherwise emit repeated sigmas and no-op
+    # sigma_next == sigma steps
+    keep = np.concatenate([[True], idx[1:] != idx[:-1]])
+    return _finish(table[idx[keep]])
 
 
 def kl_optimal_sigmas(steps: int, sigma_min: float,
@@ -116,8 +120,17 @@ def linear_quadratic_sigmas(steps: int, threshold_noise: float = 0.025,
     ts = [i * threshold_noise / lin for i in range(lin)]
     quad_steps = steps - lin
     if quad_steps:
-        a = (1.0 - threshold_noise) / (quad_steps + 1) ** 2
-        ts += [threshold_noise + a * i**2 for i in range(1, quad_steps + 1)]
+        # upstream C1-continuous quadratic tail (ComfyUI/genmo
+        # linear_quadratic_schedule): the quadratic segment matches the
+        # linear segment's value AND slope at the junction
+        tnsd = lin - threshold_noise * steps
+        quadratic_coef = tnsd / (lin * quad_steps**2)
+        linear_coef = threshold_noise / lin - 2.0 * tnsd / quad_steps**2
+        const = quadratic_coef * lin**2
+        ts += [quadratic_coef * i**2 + linear_coef * i + const
+               for i in range(lin, steps)]
+    # upstream appends 1.0 then maps x -> 1-x; the trailing 0.0 from
+    # _finish is exactly that final entry
     return _finish(1.0 - np.asarray(ts))
 
 

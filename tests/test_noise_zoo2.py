@@ -185,6 +185,31 @@ def test_voronoi_topk_prefix_matches_full_sort():
     assert V._sorted_prefix(V._parse_modes("median_distance", "rscale")) is None
     assert V._sorted_prefix(
         V._parse_modes("ridge:name=diff:idx2=3", "rscale")) == 4
+    # ADVICE r2: negative idx is legal reference syntax (Python indexing
+    # from the end) — must force the full sort, never a clamped prefix
+    assert V._sorted_prefix(V._parse_modes("f:idx=-1", "rscale")) is None
+    assert V._sorted_prefix(V._parse_modes("f1+f:idx=-1", "rscale")) is None
+    assert V._sorted_prefix(
+        V._parse_modes("diff:idx1=-2:idx2=1", "rscale")) is None
+
+
+def test_voronoi_negative_idx_reads_largest_distance():
+    """'f:idx=-1' must return the LARGEST sorted distance; before the
+    ADVICE-r2 fix the prefix path silently returned the smallest via
+    JAX's clamped out-of-bounds indexing."""
+    from sonar_tpu.noise import voronoi as V
+    from sonar_tpu.noise.base import make_noise_sampler
+
+    def draw(mode):
+        gen = V.VoronoiGenerator(n_points=(16,), result_mode=(mode,))
+        fn, st = make_noise_sampler(gen, (1, 2, 16, 16), seed=5)
+        return np.asarray(fn(st, None, None)[0])
+
+    largest, smallest, explicit = draw("f:idx=-1"), draw("f1"), draw("f:idx=15")
+    # idx=-1 must be the idx=15 field (bit-identical), NOT the clamped
+    # f1 field the broken prefix path returned
+    np.testing.assert_array_equal(largest, explicit)
+    assert not np.allclose(largest, smallest)
 
 
 def test_voronoi_results_identical_with_prefix_path():

@@ -107,3 +107,32 @@ def test_kl_optimal_and_linear_quadratic():
     # linear segment has constant decrements
     d = np.diff(lq[:8])
     np.testing.assert_allclose(d, d[0], rtol=1e-3)  # fp32 rounding
+
+
+def test_linear_quadratic_matches_upstream_formula():
+    """ADVICE r2: the quadratic tail must be the C1-continuous upstream
+    (ComfyUI/genmo linear_quadratic_schedule) polynomial, not an ad-hoc
+    one — slope continuity at the linear->quadratic junction included."""
+    for steps, tn, lin in [(16, 0.025, None), (30, 0.025, None),
+                           (10, 0.1, 3), (7, 0.05, None)]:
+        ls = steps // 2 if lin is None else lin
+        schedule = [i * tn / ls for i in range(ls)]
+        tnsd = ls - tn * steps
+        qs = steps - ls
+        qc = tnsd / (ls * qs**2)
+        lc = tn / ls - 2 * tnsd / qs**2
+        const = qc * ls**2
+        schedule += [qc * i**2 + lc * i + const for i in range(ls, steps)]
+        expect = np.asarray([1.0 - x for x in schedule] + [0.0])
+        got = np.asarray(get_sigmas("linear_quadratic", steps,
+                                    MS, threshold_noise=tn,
+                                    linear_steps=lin))
+        np.testing.assert_allclose(got, expect, atol=1e-6)
+
+
+def test_beta_skips_duplicate_timesteps():
+    """ADVICE r2: colliding beta.ppf indices must be deduplicated like
+    upstream's ``last_t != t`` filter — no sigma_next == sigma steps."""
+    for steps in (50, 100, 200):
+        s = np.asarray(get_sigmas("beta", steps, MS))
+        assert np.all(np.diff(s[:-1]) < 0), steps
