@@ -80,6 +80,34 @@ def _ab_slope(fn_a, args_a, fn_b, args_b, g1=4, g2=16, reps=4):
     return sa / sb
 
 
+def _ab_slope_samples(fn_a, args_a, fn_b, args_b, g1=4, g2=16, k=5,
+                      inner=2):
+    """K independent interleaved slope-ratio samples, for median + IQR
+    reporting (VERDICT r2 item 7: one number per kernel instead of a
+    10x-wide min/max range). Each sample interleaves both variants at
+    both group sizes (same tunnel phase) and takes min-of-``inner`` group
+    times before forming its slope ratio."""
+    samples = []
+    for _ in range(k):
+        best = {("a", g1): float("inf"), ("a", g2): float("inf"),
+                ("b", g1): float("inf"), ("b", g2): float("inf")}
+        for _ in range(inner):
+            for g in (g1, g2):
+                for tag, f, a in (("a", fn_a, args_a), ("b", fn_b, args_b)):
+                    t0 = time.perf_counter()
+                    for _ in range(g):
+                        out = f(*a)
+                    _force(out)
+                    best[(tag, g)] = min(best[(tag, g)],
+                                         time.perf_counter() - t0)
+        sa = max((best[("a", g2)] - best[("a", g1)]) / (g2 - g1),
+                 best[("a", g2)] / g2 * 1e-3)
+        sb = max((best[("b", g2)] - best[("b", g1)]) / (g2 - g1),
+                 best[("b", g2)] / g2 * 1e-3)
+        samples.append(sa / sb)
+    return samples
+
+
 def _timeit_slope(fn, *args, g1=4, g2=16, reps=4):
     """True per-execution time via two-point group timing.
 
@@ -416,11 +444,12 @@ _SINGLE = {
     "sdxl_config3": bench_sdxl_config3_per_call_ms,
 }
 
-# the SDXL-scale runs compile a 664M-param UNet through the TPU tunnel;
-# first pallas remote-compiles can take minutes
-_TIMEOUTS = {"sdxl_euler": 1800, "sdxl_config3": 1800, "noise_fused": 1200,
-             "noise_bulk_fused": 1200, "fused_ab": 1200,
-             "fused_old_ab": 1200, "fused_highres_ab": 1200, "hw_ab": 1200}
+# per-metric timeout ceilings, clamped to the remaining budget at launch.
+# The SDXL-scale runs compile a 664M-param UNet through the TPU tunnel;
+# first pallas remote-compiles can take minutes.
+_TIMEOUTS = {"sdxl_euler": 1500, "sdxl_config3": 1500, "noise_fused": 900,
+             "noise_bulk_fused": 900, "fused_ab": 900,
+             "fused_old_ab": 900, "fused_highres_ab": 900, "hw_ab": 900}
 
 # per-metric env overrides (noise_hw = the pyramid metric with the
 # hardware-PRNG Pallas kernel enabled — profiles/ANALYSIS.md §1)
@@ -441,106 +470,240 @@ _SINGLE["fused_highres_ab"] = functools.partial(
     bench_fused_pyramid_speedup, "highres_pyramid", (1, 4, 128, 128), 20)
 
 
-def _run_isolated(name: str) -> float:
-    """Run one benchmark in a fresh subprocess.
+def bench_voronoi_mpix(shape=(1, 4, 128, 128), n_points=256, iters=10) -> float:
+    """Voronoi f1 throughput at 256 feature points (the slowest shipping
+    noise path — VERDICT r2 item 2)."""
+    from sonar_tpu.noise.base import make_noise_sampler
+    from sonar_tpu.noise.voronoi import VoronoiGenerator
 
-    Sharing one process between large compiled programs degrades subsequent
-    executions ~200x through this environment's TPU tunnel (measured both
-    orderings); per-metric processes give honest numbers. Falls back to
-    in-process on any subprocess failure."""
+    item = VoronoiGenerator(n_points=(n_points,), octaves=2)
+    fn, state0 = make_noise_sampler(item, shape, seed=5, sigma_min=0.03,
+                                    sigma_max=14.6)
+
+    @jax.jit
+    def draw_many(state):
+        def body(st, _):
+            noise, st = fn(st, jnp.asarray(1.0), jnp.asarray(0.9))
+            return st, noise
+
+        return jax.lax.scan(body, state, None, length=iters)[1]
+
+    dt = _timeit_slope(draw_many, state0)
+    npix = 1
+    for d in shape:
+        npix *= d
+    return npix * iters / dt / 1e6
+
+
+def bench_voronoi_torch_anchor(shape=(1, 4, 128, 128), n_points=256,
+                               iters=3) -> float:
+    """Torch-CPU voronoi anchor (reference VoronoiNoiseGenerator hot loop,
+    py/noise_generation.py:1847-1904, minimally reimplemented: toroidal
+    3D distances to N feature points, f1 over 2 octaves)."""
+    import torch
+
+    b, c, h, w = shape
+
+    def voronoi_once(gen):
+        ys = torch.linspace(0, (h - 1) / h, h)
+        xs = torch.linspace(0, (w - 1) / w, w)
+        gy, gx = torch.meshgrid(ys, xs, indexing="ij")
+        grid = torch.stack([gy, gx, torch.full((h, w), 0.5)], dim=-1)
+        result = torch.zeros(b, c, h, w)
+        amplitude, scale, total = 1.0, 1.0, 0.0
+        for _ in range(2):
+            fp = torch.rand(b, c, n_points, 3, generator=gen)
+            g = (grid[None, None, :, :, None, :] * scale) % 1.0
+            f = (fp[:, :, None, None, :, :] * scale) % 1.0
+            d = (g - f + 0.5) % 1.0 - 0.5
+            dist = torch.sqrt((d * d).sum(-1))
+            result += dist.min(dim=-1).values * amplitude
+            total += abs(amplitude)
+            amplitude *= 0.5
+            scale *= 2.0
+        return result / total
+
+    gen = torch.Generator().manual_seed(5)
+    voronoi_once(gen)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = voronoi_once(gen)
+    dt = (time.perf_counter() - t0) / iters
+    del out
+    return b * c * h * w / dt / 1e6
+
+
+_SINGLE["voronoi"] = bench_voronoi_mpix
+_SINGLE["voronoi_anchor"] = bench_voronoi_torch_anchor
+
+
+# ---------------------------------------------------------------------------
+# Driver entry point. VERDICT r2 item 1: the whole run must fit a hard
+# wall-clock budget (SONAR_BENCH_BUDGET_S, default 20 min) and ALWAYS
+# print its one JSON line — core metrics first, extras only while budget
+# remains, best-effort partial JSON on budget expiry or SIGTERM/SIGALRM.
+# ---------------------------------------------------------------------------
+
+# priority order: the VERDICT-required core first (sampler steps/s,
+# pyramid Mpix/s, torch anchor, config3 overhead), then extras
+_CORE = ["sampler", "noise", "anchor", "sdxl_euler", "sdxl_config3"]
+_EXTRAS = ["voronoi", "voronoi_anchor", "sampler_b8", "power", "noise_bulk",
+           "fused_old_ab", "fused_highres_ab", "fused_ab", "noise_fused",
+           "noise_bulk_fused", "hw_ab", "noise_hw"]
+
+# minimum plausible runtime — don't even launch a metric with less budget
+_MIN_LAUNCH = {"sdxl_euler": 240, "sdxl_config3": 240}
+
+
+def _run_one(name: str, timeout: float):
+    """Run one metric in a fresh subprocess (sharing one process between
+    large compiled programs degrades later TPU executions ~200x through
+    the tunnel — CLAUDE.md), bounded by ``timeout``.
+
+    Output goes to temp files (a full pipe would deadlock the child).
+    Returns (value | None, killed: bool). NO in-process fallback: a
+    fallback after a timeout-kill can hang the main process on the wedged
+    tunnel and lose the entire JSON line (the round-2 failure mode)."""
     import os
     import subprocess
     import sys
+    import tempfile
 
     env = dict(os.environ)
-    # persistent XLA compilation cache: repeat bench runs (and the metrics
-    # sharing programs) skip the multi-minute TPU compiles
     env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/sonar_jax_cache")
     env.update(_METRIC_ENV.get(name, {}))
-    try:
-        out = subprocess.run(
+    with tempfile.TemporaryFile("w+") as out_f, \
+            tempfile.TemporaryFile("w+") as err_f:
+        proc = subprocess.Popen(
             [sys.executable, __file__, "--single", name],
-            capture_output=True, text=True, timeout=_TIMEOUTS.get(name, 560),
-            check=True, env=env,
-        )
-        return float(out.stdout.strip().splitlines()[-1])
-    except Exception:
-        # in-process fallback must still see the metric's env overrides
-        # (e.g. the fused flag is read at trace time)
-        old = {k: os.environ.get(k) for k in _METRIC_ENV.get(name, {})}
-        os.environ.update(_METRIC_ENV.get(name, {}))
+            stdout=out_f, stderr=err_f, env=env)
+        deadline = time.monotonic() + timeout
+        while proc.poll() is None and time.monotonic() < deadline:
+            time.sleep(0.25)
+        if proc.poll() is None:
+            proc.kill()
+            proc.wait()
+            return None, True
+        if proc.returncode != 0:
+            return None, False
+        out_f.seek(0)
+        lines = out_f.read().strip().splitlines()
         try:
-            return _SINGLE[name]()
-        finally:
-            for k, v in old.items():
-                if v is None:
-                    os.environ.pop(k, None)
-                else:
-                    os.environ[k] = v
+            return float(lines[-1]), False
+        except (IndexError, ValueError):
+            return None, False
+
+
+def _rnd(v, nd=3):
+    return None if v is None else round(v, nd)
+
+
+def _ratio(a, b):
+    return None if a is None or b is None or not b else a / b
+
+
+def _emit(r, timings):
+    """The ONE JSON line, from whatever landed (None for missing)."""
+    import sys
+
+    steps = r.get("sampler")
+    mpix, anchor = r.get("noise"), r.get("anchor")
+    eul, c3 = r.get("sdxl_euler"), r.get("sdxl_config3")
+    overhead = None if eul is None or c3 is None else (c3 - eul) / eul * 100.0
+    vor, vor_anchor = r.get("voronoi"), r.get("voronoi_anchor")
+    print(json.dumps({
+        "metric": "sonar_euler_ancestral_steps_per_sec_sd15_64x64",
+        "value": _rnd(steps),
+        "unit": "steps/s",
+        "vs_baseline": _rnd(_ratio(mpix, anchor)),
+        "extra": {
+            "per_step_ms_p50": _rnd(_ratio(1000.0, steps)),
+            "batch8_latent_steps_per_sec": _rnd(r.get("sampler_b8")),
+            "noise_pyramid_mpix_per_sec": _rnd(mpix),
+            "torch_cpu_anchor_mpix_per_sec": _rnd(anchor),
+            "vs_baseline_is": "pyramid-noise Mpix/s vs torch-CPU anchor",
+            # BASELINE config 3 at SDXL scale (664M-param UNet, 4x128x128,
+            # 30 steps), per model call; target <5%
+            "sdxl_euler_per_call_ms": _rnd(eul),
+            "sdxl_config3_per_call_ms": _rnd(c3),
+            "config3_overhead_pct": _rnd(overhead, 2),
+            "noise_voronoi_mpix_per_sec": _rnd(vor),
+            "voronoi_torch_cpu_anchor_mpix_per_sec": _rnd(vor_anchor),
+            "voronoi_vs_anchor": _rnd(_ratio(vor, vor_anchor), 2),
+            "noise_power_mpix_per_sec": _rnd(r.get("power")),
+            "noise_pyramid_bulk_mpix_per_sec": _rnd(r.get("noise_bulk")),
+            "noise_pyramid_fused_mpix_per_sec": _rnd(r.get("noise_fused")),
+            "noise_pyramid_bulk_fused_mpix_per_sec":
+                _rnd(r.get("noise_bulk_fused")),
+            # fused-pyramid Pallas kernels vs XLA path, interleaved-group
+            # slope A/Bs (kernels/fused_pyramid.py); the plain-pyramid
+            # ratio is at the traffic-dominated 512x512
+            "fused_pyramid_512_speedup_ratio": _rnd(r.get("fused_ab"), 4),
+            "fused_pyramid_old_speedup_ratio": _rnd(r.get("fused_old_ab"), 4),
+            "fused_highres_pyramid_speedup_ratio":
+                _rnd(r.get("fused_highres_ab"), 4),
+            "noise_pyramid_hw_rng_mpix_per_sec": _rnd(r.get("noise_hw")),
+            "hw_rng_pyramid_speedup_ratio": _rnd(r.get("hw_ab"), 4),
+            "backend": jax.default_backend(),
+            "metric_seconds": {k: round(v, 1) for k, v in timings.items()},
+        },
+    }))
+    sys.stdout.flush()
 
 
 def main():
+    import os
+    import signal
     import sys
 
     if len(sys.argv) >= 3 and sys.argv[1] == "--single":
         print(_SINGLE[sys.argv[2]]())
         return
-    steps_per_sec = _run_isolated("sampler")
-    b8 = _run_isolated("sampler_b8")
-    mpix = _run_isolated("noise")
-    mpix_hw = _run_isolated("noise_hw")
-    hw_ratio = _run_isolated("hw_ab")
-    mpix_fused = _run_isolated("noise_fused")
-    mpix_bulk = _run_isolated("noise_bulk")
-    mpix_bulk_fused = _run_isolated("noise_bulk_fused")
-    fused_ratio = _run_isolated("fused_ab")
-    fused_old_ratio = _run_isolated("fused_old_ab")
-    fused_highres_ratio = _run_isolated("fused_highres_ab")
-    power_mpix = _run_isolated("power")
-    anchor = _run_isolated("anchor")
-    sdxl_euler = _run_isolated("sdxl_euler")
-    sdxl_config3 = _run_isolated("sdxl_config3")
-    overhead_pct = (sdxl_config3 - sdxl_euler) / sdxl_euler * 100.0
-    print(
-        json.dumps(
-            {
-                "metric": "sonar_euler_ancestral_steps_per_sec_sd15_64x64",
-                "value": round(steps_per_sec, 3),
-                "unit": "steps/s",
-                "vs_baseline": round(mpix / anchor, 3),
-                "extra": {
-                    "per_step_ms_p50": round(1000.0 / steps_per_sec, 3),
-                    "batch8_latent_steps_per_sec": round(b8, 3),
-                    "noise_pyramid_mpix_per_sec": round(mpix, 3),
-                    "noise_pyramid_hw_rng_mpix_per_sec": round(mpix_hw, 3),
-                    # interleaved-group slope A/B (_ab_slope): cancels the
-                    # readback RTT and samples both variants in each phase
-                    "hw_rng_pyramid_speedup_ratio": round(hw_ratio, 4),
-                    "noise_pyramid_fused_mpix_per_sec": round(mpix_fused, 3),
-                    "noise_pyramid_bulk_mpix_per_sec": round(mpix_bulk, 3),
-                    "noise_pyramid_bulk_fused_mpix_per_sec":
-                        round(mpix_bulk_fused, 3),
-                    # fused-pyramid Pallas kernels vs XLA path,
-                    # interleaved-group slope A/Bs (kernels/fused_pyramid.py);
-                    # the pyramid ratio is at the traffic-dominated 512x512
-                    "fused_pyramid_512_speedup_ratio": round(fused_ratio, 4),
-                    "fused_pyramid_old_speedup_ratio":
-                        round(fused_old_ratio, 4),
-                    "fused_highres_pyramid_speedup_ratio":
-                        round(fused_highres_ratio, 4),
-                    "noise_power_mpix_per_sec": round(power_mpix, 3),
-                    "torch_cpu_anchor_mpix_per_sec": round(anchor, 3),
-                    "vs_baseline_is": "pyramid-noise Mpix/s vs torch-CPU anchor",
-                    # BASELINE config 3 measured at SDXL scale (664M-param
-                    # UNet, 4x128x128, 30 steps), per model call; target <5%
-                    "sdxl_euler_per_call_ms": round(sdxl_euler, 3),
-                    "sdxl_config3_per_call_ms": round(sdxl_config3, 3),
-                    "config3_overhead_pct": round(overhead_pct, 2),
-                    "backend": jax.default_backend(),
-                },
-            }
-        )
-    )
+
+    budget = float(os.environ.get("SONAR_BENCH_BUDGET_S", "1200"))
+    t0 = time.monotonic()
+    results: dict = {}
+    timings: dict = {}
+    emitted = [False]
+
+    def emit_once():
+        if not emitted[0]:
+            emitted[0] = True
+            _emit(results, timings)
+
+    class _Expired(Exception):
+        pass
+
+    def _on_signal(signum, frame):
+        raise _Expired()
+
+    # backstop: the driver's own timeout sends SIGTERM first; SIGALRM
+    # guards against anything wedging past the budget
+    signal.signal(signal.SIGTERM, _on_signal)
+    signal.signal(signal.SIGALRM, _on_signal)
+    signal.alarm(int(budget) + 60)
+
+    reserve = 10.0  # always keep time to print
+    try:
+        for name in _CORE + _EXTRAS:
+            remaining = budget - (time.monotonic() - t0) - reserve
+            if remaining < _MIN_LAUNCH.get(name, 30):
+                continue
+            tmo = min(_TIMEOUTS.get(name, 560), remaining)
+            t_m = time.monotonic()
+            value, killed = _run_one(name, tmo)
+            timings[name] = time.monotonic() - t_m
+            if value is not None:
+                results[name] = value
+            if killed:
+                # a killed TPU process can wedge the tunnel for a long
+                # time (CLAUDE.md) — stop launching and report what we have
+                break
+    except _Expired:
+        pass
+    finally:
+        signal.alarm(0)
+        emit_once()
 
 
 if __name__ == "__main__":
