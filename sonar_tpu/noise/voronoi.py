@@ -19,6 +19,7 @@ batched elementwise + sort, MXU-free but VPU-friendly; N is static.
 from __future__ import annotations
 
 import math
+import os
 from typing import Callable
 
 import jax
@@ -90,11 +91,39 @@ def _sorted_prefix(parsed):
     return k
 
 
+def _ksmallest_iter(d, k):
+    """k-smallest by iterative argmin extraction — k fused (reduce +
+    select) passes instead of an opaque lax.top_k, so XLA can fuse the
+    distance computation into the reductions and never materialize the
+    (B, C, H, W, N) tensor. Values identical to the sort prefix (ties
+    yield equal values either way)."""
+    iota = jax.lax.broadcasted_iota(jnp.int32, d.shape, d.ndim - 1)
+    outs = []
+    for _ in range(k):
+        outs.append(jnp.min(d, axis=-1))
+        if len(outs) < k:
+            i = jnp.argmin(d, axis=-1)
+            d = jnp.where(iota == i[..., None], jnp.inf, d)
+    return jnp.stack(outs, axis=-1)
+
+
+def _itermin_max_k() -> int:
+    """Max prefix size routed through _ksmallest_iter (trace-time env
+    knob SONAR_TPU_VORONOI_ITERMIN). Default 4: slope-timed 3.5x faster
+    than lax.top_k at k=4/256 points on the chip (tools/bench_voronoi.py;
+    the k fused reduce passes beat the opaque sort even at the largest
+    eligible prefix, so smaller k only widens the gap)."""
+    return int(os.environ.get("SONAR_TPU_VORONOI_ITERMIN", "4"))
+
+
 def _sorted_small(d, k):
-    """Ascending distances: full sort, or the k-smallest prefix via
-    lax.top_k when only a prefix is consumed (identical values; tie
-    ordering may differ, which no consumer observes)."""
+    """Ascending distances: full sort, or the k-smallest prefix (via
+    iterative extraction or lax.top_k) when only a prefix is consumed
+    (identical values; tie ordering may differ, which no consumer
+    observes)."""
     if k is not None and 0 < k < d.shape[-1]:
+        if k <= _itermin_max_k():
+            return _ksmallest_iter(d, k)
         neg, _ = jax.lax.top_k(-d, k)
         return -neg
     if k == 0:  # defensive: no mode should call sorted() in this case
@@ -104,6 +133,53 @@ def _sorted_small(d, k):
 
 def _normalize_vec(d, axis=-1, eps=1e-12):
     return d / jnp.maximum(jnp.linalg.norm(d, axis=axis, keepdims=True), eps)
+
+
+# result modes whose computation only reads env["sorted"] / env["key"]
+# (never d or d_orig) — the surface the fused kernel can serve directly
+_SORTED_ONLY = {"f", "f1", "f2", "f3", "f4",
+                "inv_f", "inv_f1", "inv_f2", "inv_f3", "inv_f4",
+                "diff", "diff2"}
+
+
+def _result_sorted_only(name, kw) -> bool:
+    if name in _SORTED_ONLY:
+        return True
+    if name == "ridge":
+        return _result_sorted_only(kw.get("name", "diff"), kw)
+    if name == "fuzz":
+        return _result_sorted_only(kw.get("name", "f1"), kw)
+    if name == "gradient_magnitude":
+        return (_result_sorted_only(kw.get("name1", "f4"), kw)
+                and _result_sorted_only(kw.get("name2", "f4"), kw))
+    return False
+
+
+# distance modes expressible as a per-axis reduction over wrapped diffs
+# (the manhatten quirk IS euclidean — py/noise_generation.py:1483)
+_AXIS_DISTS = {"euclidean", "manhatten", "quadratic", "chebyshev",
+               "minkowski"}
+
+
+def _simple_distance(parsed):
+    """(dist, p, weights, dscale) for a single simple (optionally
+    weight-wrapped) distance spec, else None. Covers the per-axis XLA
+    fast path and the fused kernel's distance surface."""
+    if len(parsed) != 1:
+        return None
+    name, kw, dscale = parsed[0]
+    weights = None
+    if name == "weight":
+        kw = dict(kw)
+        name = kw.pop("name", "euclidean")
+        weights = (float(kw.pop("h", 1.0)), float(kw.pop("w", 1.0)),
+                   float(kw.pop("z", 0.25)))
+    if name not in _AXIS_DISTS:
+        return None
+    if name == "manhatten":
+        name = "euclidean"
+    p = float(kw.get("p", 3.0)) if name == "minkowski" else 3.0
+    return name, p, weights, dscale
 
 
 class VoronoiGenerator(Generator):
@@ -388,12 +464,14 @@ class VoronoiGenerator(Generator):
             result = cur if result is None else result + cur
         return result
 
-    def _apply_result(self, d, d_orig, octave, key):
+    def _apply_result(self, d, d_orig, octave, key, sorted_override=None):
         spec = self.result_mode[octave % len(self.result_mode)]
         cache = {}
         k = _sorted_prefix(_parse_modes(spec, "rscale"))
 
         def get_sorted():
+            if sorted_override is not None:
+                return sorted_override
             if "s" not in cache:
                 cache["s"] = _sorted_small(d, k)
             return cache["s"]
@@ -405,12 +483,89 @@ class VoronoiGenerator(Generator):
             result = cur if result is None else result + cur
         return result
 
+    def _kernel_plan(self, ctx, octave: int, h: int, w: int):
+        """(dist, p, weights, dscale, k) when the fused TPU kernel can
+        serve this octave's (distance, result) spec pair, else None."""
+        from ..kernels.voronoi import use_voronoi_kernel, voronoi_kernel_supported
+
+        if not use_voronoi_kernel() or jnp.dtype(ctx.dtype) != jnp.float32:
+            return None
+        dspec = self.distance_mode[octave % len(self.distance_mode)]
+        simple = _simple_distance(_parse_modes(dspec, "dscale"))
+        if simple is None or simple[3] <= 0:  # sorting needs dscale > 0
+            return None
+        parsed_r = _parse_modes(
+            self.result_mode[octave % len(self.result_mode)], "rscale")
+        if not all(_result_sorted_only(n, kw) for n, kw, _ in parsed_r):
+            return None
+        k = _sorted_prefix(parsed_r)
+        # k == 1 stays on XLA: a single fused min-reduction over the
+        # per-axis path beats the kernel's point loop (chip-measured
+        # 218 vs 185 Mpix/s); the kernel wins once several extraction
+        # passes are replaced (3.2x at k=4, profiles/ANALYSIS.md)
+        npts = self._npoints(octave % self._octave_groups())
+        if k is None or k < 2 or not voronoi_kernel_supported(
+                h, w, k, simple[0], ctx.batch * ctx.channels, npts):
+            return None
+        return simple + (k,)
+
+    def _axis_distance(self, simple, grid3d, fp, scale):
+        """Distance tensor (B, C, H, W, N) accumulated per axis — the
+        (B, C, H, W, N, 3) wrapped-diff tensor never exists (it is ~200MB
+        at 128²/256 points; VERDICT r2 item 2). Same elementwise ops and
+        reduction order as the generic path, so values are identical."""
+        dist, p, weights, dscale = simple
+
+        def axis(a):
+            g = (grid3d[..., a] * scale) % 1.0  # (H, W)
+            f = (fp[..., a] * scale) % 1.0  # (B, C, N)
+            d = (g[None, None, :, :, None]
+                 - f[:, :, None, None, :] + 0.5) % 1.0 - 0.5
+            return d * weights[a] if weights is not None else d
+
+        if dist == "euclidean":
+            d = jnp.sqrt(axis(0) ** 2 + axis(1) ** 2 + axis(2) ** 2)
+        elif dist == "quadratic":
+            d = axis(0) ** 2 + axis(1) ** 2 + axis(2) ** 2
+        elif dist == "chebyshev":
+            d = jnp.maximum(jnp.maximum(jnp.abs(axis(0)), jnp.abs(axis(1))),
+                            jnp.abs(axis(2)))
+        else:  # minkowski
+            d = (jnp.abs(axis(0)) ** p + jnp.abs(axis(1)) ** p
+                 + jnp.abs(axis(2)) ** p) ** (1.0 / p)
+        return d * dscale if dscale != 1.0 else d
+
     def _octave(self, ctx, state, key, octave: int, grid3d, scale: float):
         fp = self._feature_points(state, octave)  # (B, C, N, 3)
+        kd, kr = jax.random.split(key)
+        h, w = grid3d.shape[0], grid3d.shape[1]
+
+        plan = self._kernel_plan(ctx, octave, h, w)
+        if plan is not None:
+            from ..kernels.voronoi import voronoi_ksmallest
+
+            dist, p, weights, dscale, k = plan
+            prefix = voronoi_ksmallest(
+                fp, grid3d[:, 0, 0], grid3d[0, :, 1], grid3d[0, 0, 2],
+                scale=scale, k=k,
+                dist=dist, p=p, weights=weights or (1.0, 1.0, 1.0))
+            if dscale != 1.0:
+                prefix = prefix * dscale
+            return self._apply_result(None, None, octave, kr,
+                                      sorted_override=prefix)
+
+        dspec = self.distance_mode[octave % len(self.distance_mode)]
+        simple = _simple_distance(_parse_modes(dspec, "dscale"))
+        rspec = self.result_mode[octave % len(self.result_mode)]
+        if simple is not None and "softmin" not in rspec:
+            # per-axis XLA fast path (softmin is the one consumer of the
+            # full wrapped-diff tensor d_orig)
+            d = self._axis_distance(simple, grid3d, fp, scale)
+            return self._apply_result(d, None, octave, kr)
+
         g = (grid3d[None, None, :, :, None, :] * scale) % 1.0  # (1,1,H,W,1,3)
         f = (fp[:, :, None, None, :, :] * scale) % 1.0  # (B,C,1,1,N,3)
         d_orig = (g - f + 0.5) % 1.0 - 0.5  # toroidal wrap, [-0.5, 0.5)
-        kd, kr = jax.random.split(key)
         d = self._apply_distance(d_orig, octave, kd)
         return self._apply_result(d, d_orig, octave, kr)
 
