@@ -1,9 +1,9 @@
 """Wavelet facade + pyramid utilities (reference: py/wavelet_functions.py).
 
 :class:`Wavelet` mirrors the reference wrapper surface (forward / inverse /
-two_step_inverse, separate inverse wave+mode) over the native JAX DWT.
-DTCWT is staged behind a feature flag (SURVEY §7.2): requesting
-``use_dtcwt=True`` raises until the dual-tree kernels land.
+two_step_inverse, separate inverse wave+mode) over the native JAX DWT and
+DTCWT. ``biort``/``qshift`` select named DTCWT banks (published tables via
+wavelets/kingsbury.py; reference surface py/wavelet_functions.py:62-101).
 """
 
 from __future__ import annotations
@@ -39,17 +39,28 @@ class Wavelet:
         inv_qshift: str | None = None,
         device=None,
     ):
-        del device, biort, qshift, inv_biort, inv_qshift
+        del device
         self.wave = wave
         self.level = level
         self.mode = mode
         self.use_1d_dwt = use_1d_dwt
         self.use_dtcwt = use_dtcwt
+        self.biort = biort
+        self.qshift = qshift
         self.inv_wave = fallback(inv_wave, wave)
         self.inv_mode = fallback(inv_mode, mode)
+        self.inv_biort = fallback(inv_biort, biort)
+        self.inv_qshift = fallback(inv_qshift, qshift)
         if not use_dtcwt:
             get_wavelet(self.wave)  # validate eagerly
             get_wavelet(self.inv_wave)
+        else:
+            from .dtcwt import _resolve_level1, _resolve_qshift
+
+            _resolve_level1(self.biort)  # validate eagerly
+            _resolve_level1(self.inv_biort)
+            _resolve_qshift(self.qshift)
+            _resolve_qshift(self.inv_qshift)
         self._fwd_shape = None
 
     def forward(self, t: jax.Array, *, forward_function: Callable | None = None):
@@ -59,7 +70,8 @@ class Wavelet:
         if self.use_dtcwt:
             from .dtcwt import dtcwt2d
 
-            yls, yhs = dtcwt2d(t, self.level)
+            yls, yhs = dtcwt2d(t, self.level, biort=self.biort,
+                               qshift=self.qshift)
             # yl carried as the 4 tree lowpasses stacked on a leading axis so
             # the (yl, yh) pyramid protocol (scaling/blend) applies unchanged
             return jnp.stack(yls, axis=0), yhs
@@ -85,6 +97,7 @@ class Wavelet:
             inv = lambda pair: idtcwt2d(  # noqa: E731
                 tuple(pair[0][i] for i in range(4)), pair[1],
                 out_hw=None if out_shape is None else out_shape[-2:],
+                biort=self.inv_biort, qshift=self.inv_qshift,
             )
         elif self.use_1d_dwt:
             inv = lambda pair: idwt1d(  # noqa: E731

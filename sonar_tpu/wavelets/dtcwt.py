@@ -174,22 +174,56 @@ def _level1_banks() -> tuple[WaveletFilters, WaveletFilters]:
     return w, w
 
 
+# published-table names resolve through wavelets/kingsbury.py; the
+# designed in-repo banks remain available as near_sym_b (their
+# length class) and the explicit "native" names
+@functools.lru_cache(maxsize=None)
+def _resolve_level1(biort: str) -> WaveletFilters:
+    from .kingsbury import biort_level1_bank
+
+    if biort in ("legall", "near_sym_a", "antonini"):
+        return biort_level1_bank(biort)
+    if biort in ("near_sym_b", "near_sym_a_bp", "near_sym_b_bp", "native"):
+        return near_sym_bank()
+    raise ValueError(f"Unknown biort {biort!r}; valid: legall, near_sym_a, "
+                     "antonini, near_sym_b, native")
+
+
+@functools.lru_cache(maxsize=None)
+def _resolve_qshift(qshift: str) -> tuple[WaveletFilters, WaveletFilters]:
+    from .kingsbury import qshift_tree_banks
+
+    if qshift in ("qshift_06", "qshift_a", "qshift_b", "qshift_c",
+                  "qshift_d", "qshift_b_bp"):
+        return qshift_tree_banks(qshift)
+    if qshift == "native":
+        return qshift_banks()
+    raise ValueError(f"Unknown qshift {qshift!r}; valid: qshift_06, "
+                     "qshift_a-qshift_d, native")
+
+
 # ---------------------------------------------------------------------------
 # forward / inverse
 # ---------------------------------------------------------------------------
 
 
-def dtcwt2d(x, level: int = 3):
+def dtcwt2d(x, level: int = 3, *, biort: str = "near_sym_a",
+            qshift: str = "qshift_a"):
     """Forward DTCWT of (B, C, H, W) → (yls, yhs):
 
     - ``yls``: tuple of 4 real lowpasses (one per tree combo aa/ab/ba/bb);
     - ``yhs``: list of J complex arrays shaped (B, C, 6, H_j, W_j) — the 6
       oriented subbands (matching pytorch_wavelets' orientation axis).
+
+    ``biort``/``qshift`` select the named banks (published Kingsbury/CDF
+    tables via wavelets/kingsbury.py; reference surface
+    py/wavelet_functions.py:62-101).
     """
     combos = {}
     for rt in "ab":  # row tree
         for ct in "ab":  # col tree
-            combos[rt + ct] = _tree_dwt2d_mixed(x, level, rt, ct)
+            combos[rt + ct] = _tree_dwt2d_mixed(x, level, rt, ct,
+                                                biort, qshift)
     yls = tuple(combos[k][0] for k in ("aa", "ab", "ba", "bb"))
     yhs = []
     for j in range(level):
@@ -204,22 +238,23 @@ def dtcwt2d(x, level: int = 3):
     return yls, yhs
 
 
-def _mixed_banks(lvl: int, rt: str, ct: str):
-    w1, _ = _level1_banks()
-    qa, qb = qshift_banks()
+def _mixed_banks(lvl: int, rt: str, ct: str, biort: str, qshift: str):
+    w1 = _resolve_level1(biort)
+    qa, qb = _resolve_qshift(qshift)
     if lvl == 0:
         return w1, w1
     return (qa if ct == "a" else qb), (qa if rt == "a" else qb)
 
 
-def _tree_dwt2d_mixed(x, level: int, rt: str, ct: str):
+def _tree_dwt2d_mixed(x, level: int, rt: str, ct: str,
+                      biort: str = "near_sym_a", qshift: str = "qshift_a"):
     """Row tree rt filters rows (axis -2), col tree ct filters cols (-1)."""
     from .dwt import _afb1d
 
     yl = x
     yh = []
     for lvl in range(level):
-        w_col, w_row = _mixed_banks(lvl, rt, ct)
+        w_col, w_row = _mixed_banks(lvl, rt, ct, biort, qshift)
         if lvl == 0:
             shifts = (1 if rt == "b" else 0, 1 if ct == "b" else 0)
             if any(shifts):
@@ -236,14 +271,15 @@ def _tree_dwt2d_mixed(x, level: int, rt: str, ct: str):
     return yl, yh
 
 
-def _tree_idwt2d_mixed(yl, yh, rt: str, ct: str, out_hw):
+def _tree_idwt2d_mixed(yl, yh, rt: str, ct: str, out_hw,
+                       biort: str = "near_sym_a", qshift: str = "qshift_a"):
     from .dwt import _sfb1d
 
     x = yl
     n = len(yh)
     for j, bands in enumerate(reversed(yh)):
         lvl = n - 1 - j
-        w_col, w_row = _mixed_banks(lvl, rt, ct)
+        w_col, w_row = _mixed_banks(lvl, rt, ct, biort, qshift)
         lh, hl, hh = bands[:, :, 0], bands[:, :, 1], bands[:, :, 2]
         bh, bw = lh.shape[-2], lh.shape[-1]
         if x.shape[-2:] != (bh, bw):
@@ -262,7 +298,8 @@ def _tree_idwt2d_mixed(yl, yh, rt: str, ct: str, out_hw):
     return x[..., : out_hw[0], : out_hw[1]]
 
 
-def idtcwt2d(yls, yhs, out_hw=None):
+def idtcwt2d(yls, yhs, out_hw=None, *, biort: str = "near_sym_a",
+             qshift: str = "qshift_a"):
     """Inverse DTCWT: unpack the complex subbands back into the 4 tree
     combos, invert each (PR per tree), average."""
     level = len(yhs)
@@ -284,5 +321,6 @@ def idtcwt2d(yls, yhs, out_hw=None):
             else:  # ba
                 bands = (jnp.imag(z1) - jnp.imag(z2)) / np.sqrt(2.0)
             yh_tree.append(bands)
-        trees[key] = _tree_idwt2d_mixed(yls[ki], yh_tree, key[0], key[1], out_hw)
+        trees[key] = _tree_idwt2d_mixed(yls[ki], yh_tree, key[0], key[1],
+                                        out_hw, biort, qshift)
     return (trees["aa"] + trees["ab"] + trees["ba"] + trees["bb"]) / 4.0
