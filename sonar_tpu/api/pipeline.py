@@ -39,10 +39,21 @@ class SonarPipeline:
         eta: float | None = None,
         s_noise: float | None = None,
         seed: int | None = None,
+        fused_noise: bool | None = None,
     ):
         """``model(x, sigma_batch) -> denoised`` is the cond denoiser;
         ``model_uncond`` enables CFG (basic or wavelet). Without it the
-        pipeline samples unguided, exactly the reference's KSampler path."""
+        pipeline samples unguided, exactly the reference's KSampler path.
+
+        ``fused_noise=True`` enables the fused-pyramid Pallas kernels
+        (kernels/fused_pyramid.py) for this pipeline's noise draws —
+        measured 2.70x end-to-end on 20-step sampling with pyramid_old
+        noise (tools/bench_e2e_fused_sampling.py). CAVEAT: the fused
+        kernels draw their full-size gaussian base from the TPU hardware
+        PRNG, a *different deterministic stream* than the default threefry
+        path — samples are equally valid but not bit-identical to the
+        default (or to CPU). ``None`` defers to the
+        ``SONAR_TPU_FUSED_PYRAMID`` env var; ``False`` forces it off."""
         self.model = model
         self.model_uncond = model_uncond
         self.sampler = get_sampler(sampler) if isinstance(sampler, str) else sampler
@@ -55,6 +66,7 @@ class SonarPipeline:
         self.eta = eta
         self.s_noise = s_noise
         self.seed = seed
+        self.fused_noise = fused_noise
 
     # -- guided denoiser assembly (replaces ComfyUI's CFGGuider) ---------------
     def _denoiser(self, sample_sigmas) -> Callable:
@@ -110,7 +122,23 @@ class SonarPipeline:
             call_kwargs.setdefault("s_noise", self.s_noise)
         if self.seed is not None:
             call_kwargs.setdefault("seed", self.seed)
-        return self.sampler(denoiser, x0, sigmas, **call_kwargs)
+        if self.fused_noise is None:
+            return self.sampler(denoiser, x0, sigmas, **call_kwargs)
+        # the fused-kernel flag is read at TRACE time by the pyramid
+        # generators, and this frame runs during tracing whether the
+        # caller jits the pipeline or runs it eagerly — scoping the env
+        # override here makes the knob per-pipeline
+        import os
+
+        old = os.environ.get("SONAR_TPU_FUSED_PYRAMID")
+        os.environ["SONAR_TPU_FUSED_PYRAMID"] = "1" if self.fused_noise else "0"
+        try:
+            return self.sampler(denoiser, x0, sigmas, **call_kwargs)
+        finally:
+            if old is None:
+                os.environ.pop("SONAR_TPU_FUSED_PYRAMID", None)
+            else:
+                os.environ["SONAR_TPU_FUSED_PYRAMID"] = old
 
     def jit(self) -> Callable:
         """A jitted ``fn(x0) -> samples`` closure for a fixed schedule at

@@ -335,3 +335,34 @@ def test_noisy_latent_like_node_custom_noise_passthrough():
         spec = jnp.abs(jnp.fft.rfft2(t))
         return float(spec[..., :3, :3].sum() / spec.sum())
     assert lowfreq_share(a) > lowfreq_share(b) * 1.5
+
+
+def test_pipeline_fused_noise_scopes_env():
+    """SonarPipeline(fused_noise=...) must set the fused-pyramid flag for
+    exactly the duration of the (trace-time) sampler call and restore the
+    environment after (VERDICT r2 item 6: one-line user opt-in)."""
+    import os
+
+    from sonar_tpu.api import SonarPipeline
+
+    seen = {}
+
+    def fake_sampler(model, x0, sigmas, **kw):
+        seen["flag"] = os.environ.get("SONAR_TPU_FUSED_PYRAMID")
+        return x0
+
+    model = lambda x, s, **kw: x  # noqa: E731
+    x0 = jnp.zeros((1, 1, 8, 8))
+    sigmas = jnp.asarray([1.0, 0.0])
+
+    assert "SONAR_TPU_FUSED_PYRAMID" not in os.environ
+    SonarPipeline(model=model, sampler=fake_sampler, fused_noise=True)(
+        x0, sigmas)
+    assert seen["flag"] == "1"
+    assert "SONAR_TPU_FUSED_PYRAMID" not in os.environ
+    SonarPipeline(model=model, sampler=fake_sampler, fused_noise=False)(
+        x0, sigmas)
+    assert seen["flag"] == "0"
+    # None defers to the ambient environment
+    SonarPipeline(model=model, sampler=fake_sampler)(x0, sigmas)
+    assert seen["flag"] is None

@@ -71,7 +71,21 @@ def main():
     print("shape=%s iters=%d" % (shape, iters))
     print("xla:   %.3f ms  %.1f GPix/s" % (best_x * 1e3, npix / best_x / 1e9))
     print("fused: %.3f ms  %.1f GPix/s" % (best_f * 1e3, npix / best_f / 1e9))
-    print("ratio xla/fused: %.4f" % (best_x / best_f))
+    print("ratio xla/fused (best-slopes): %.4f" % (best_x / best_f))
+
+    # median + IQR over >=5 interleaved slope-ratio samples — the single
+    # quotable number per kernel (VERDICT r2 item 7)
+    import numpy as np
+
+    from bench import _ab_slope_samples
+
+    samples = sorted(_ab_slope_samples(xla_fn, (xla_st,),
+                                       fused_fn, (fused_st,),
+                                       k=max(5, reps // 2)))
+    q1, med, q3 = np.percentile(samples, [25, 50, 75])
+    print("speedup median %.2fx  IQR [%.2f, %.2f]  (k=%d samples: %s)"
+          % (med, q1, q3, len(samples),
+             " ".join("%.2f" % s for s in samples)))
 
 
 if __name__ == "__main__":

@@ -1,0 +1,186 @@
+"""Per-noise-type torch-CPU anchors vs TPU throughput (VERDICT r2 item 3).
+
+The reference generates noise on CPU by default (py/sonar.py:163), so the
+honest ≥10× BASELINE criterion needs a torch-CPU anchor *per type*, not
+just pyramid. Where possible the anchor is the LIVE reference generator
+itself (tests/_reference_loader.py — zero copying, maximal fidelity):
+pyramid, pyramid_old, highres_pyramid, voronoi (default 32 points and the
+bench's 256-point configuration), collatz. The reference's wavelet /
+scatternet types require pytorch_wavelets (not installed), so their
+anchors are minimal faithful torch reimplementations of the dominant cost
+(a 3-level 2D Haar DWT round trip; a DWT-mode scattering layer — a lower
+bound, the reference's DTCWT ScatLayer costs more).
+
+Usage:
+  python tools/bench_anchors.py anchors          # torch-CPU side (safe)
+  python tools/bench_anchors.py tpu              # TPU side, one proc/type
+  python tools/bench_anchors.py table            # both + ratio table
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pathlib
+import subprocess
+import sys
+import time
+
+_ROOT = pathlib.Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(_ROOT))
+sys.path.insert(0, str(_ROOT / "tests"))
+
+SHAPE = (1, 4, 128, 128)
+NPIX = SHAPE[0] * SHAPE[1] * SHAPE[2] * SHAPE[3]
+
+REF_TYPES = ["pyramid", "pyramid_old", "highres_pyramid", "voronoi",
+             "collatz"]
+ALL_TYPES = REF_TYPES + ["voronoi256", "wavelet", "scatternet"]
+
+
+def _ref_sampler(name):
+    import torch
+
+    from _reference_loader import load_reference
+
+    pkg = load_reference()
+    assert pkg is not None, "reference tree unavailable"
+    ref_noise = sys.modules["sonar_reference.py.noise"]
+    torch.manual_seed(1234)
+    x = torch.zeros(SHAPE)
+    if name == "voronoi256":
+        gen_mod = sys.modules["sonar_reference.py.noise_generation"]
+        gen = gen_mod.VoronoiNoiseGenerator(
+            x, sigma_min=0.03, sigma_max=14.6, normalized=True,
+            n_points=(256,), octaves=2)
+        return lambda: gen(torch.tensor(1.0), torch.tensor(0.9))
+    ns = ref_noise.get_noise_sampler(name, x, 0.03, 14.6, seed=1234,
+                                     cpu=True, normalized=True)
+    return lambda: ns(torch.tensor(1.0), torch.tensor(0.9))
+
+
+def _haar_dwt_anchor():
+    """3-level 2D Haar DWT analysis+synthesis of a gaussian draw — the
+    dominant cost of the reference's waveletfilter type on CPU."""
+    import torch
+    import torch.nn.functional as F
+
+    lo = torch.tensor([1.0, 1.0]) / 2.0 ** 0.5
+    hi = torch.tensor([1.0, -1.0]) / 2.0 ** 0.5
+    filts = torch.stack([
+        torch.outer(a, b) for a in (lo, hi) for b in (lo, hi)
+    ])[:, None]  # (4,1,2,2)
+
+    def run():
+        x = torch.randn(SHAPE)
+        b, c, h, w = x.shape
+        pyr = []
+        y = x.reshape(b * c, 1, h, w)
+        for _ in range(3):
+            y4 = F.conv2d(y, filts, stride=2)
+            pyr.append(y4[:, 1:])
+            y = y4[:, :1]
+        for bands in reversed(pyr):
+            y = F.conv_transpose2d(torch.cat([y, bands], 1), filts, stride=2)
+            y = y.reshape(y.shape[0], 1, *y.shape[-2:])
+        return y
+
+    return run
+
+
+def _scat_anchor():
+    """One DWT-mode scattering layer (lowpass + 3 biased magnitudes) over
+    a gaussian draw — the per-layer cost floor of the reference's
+    scatternet type (its DTCWT ScatLayer computes 6 complex bands)."""
+    import torch
+    import torch.nn.functional as F
+
+    lo = torch.tensor([1.0, 1.0]) / 2.0 ** 0.5
+    hi = torch.tensor([1.0, -1.0]) / 2.0 ** 0.5
+    filts = torch.stack([
+        torch.outer(a, b) for a in (lo, hi) for b in (lo, hi)
+    ])[:, None]
+
+    def run():
+        x = torch.randn(SHAPE)
+        b, c, h, w = x.shape
+        y = F.conv2d(x.reshape(b * c, 1, h, w), filts, stride=2)
+        mags = torch.sqrt(y[:, 1:] ** 2 + 1e-4) - 1e-2
+        return torch.cat([y[:, :1], mags], 1)
+
+    return run
+
+
+def measure_anchor(name: str, iters: int = 5) -> float:
+    if name == "wavelet":
+        fn = _haar_dwt_anchor()
+    elif name == "scatternet":
+        fn = _scat_anchor()
+    else:
+        fn = _ref_sampler(name)
+    fn()  # warm
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn()
+    dt = (time.perf_counter() - t0) / iters
+    del out
+    return NPIX / dt / 1e6
+
+
+def measure_tpu(name: str) -> float:
+    """TPU side via tools/bench_slow_types.measure (slope-timed)."""
+    import bench_slow_types as bst
+
+    if name == "voronoi256":
+        from sonar_tpu.noise.voronoi import VoronoiGenerator
+
+        bst.ITEMS["voronoi256"] = lambda: VoronoiGenerator(
+            n_points=(256,), octaves=2)
+    if name in ("pyramid", "highres_pyramid"):
+        from sonar_tpu.noise.presets import get_noise_item
+
+        bst.ITEMS[name] = lambda: get_noise_item(name)
+    return bst.measure(name, iters=20)
+
+
+def main():
+    mode = sys.argv[1] if len(sys.argv) > 1 else "table"
+    if mode == "anchor-single":
+        print(measure_anchor(sys.argv[2]))
+        return
+    if mode == "tpu-single":
+        print(measure_tpu(sys.argv[2]))
+        return
+
+    env = dict(os.environ)
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/sonar_jax_cache")
+    out = {}
+    for name in ALL_TYPES:
+        row = {}
+        if mode in ("anchors", "table"):
+            r = subprocess.run(
+                [sys.executable, __file__, "anchor-single", name],
+                capture_output=True, text=True, timeout=1800, env=env)
+            row["anchor"] = (float(r.stdout.strip().splitlines()[-1])
+                             if r.returncode == 0 else None)
+            if r.returncode != 0:
+                print(f"# {name} anchor FAILED: {r.stderr[-300:]}",
+                      file=sys.stderr)
+        if mode in ("tpu", "table"):
+            r = subprocess.run(
+                [sys.executable, __file__, "tpu-single", name],
+                capture_output=True, text=True, timeout=1800, env=env)
+            row["tpu"] = (float(r.stdout.strip().splitlines()[-1])
+                          if r.returncode == 0 else None)
+            if r.returncode != 0:
+                print(f"# {name} tpu FAILED: {r.stderr[-300:]}",
+                      file=sys.stderr)
+        if row.get("anchor") and row.get("tpu"):
+            row["ratio"] = round(row["tpu"] / row["anchor"], 1)
+        out[name] = row
+        print(f"# {name}: {row}", file=sys.stderr, flush=True)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
