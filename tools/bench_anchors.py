@@ -48,11 +48,14 @@ def _ref_sampler(name):
     ref_noise = sys.modules["sonar_reference.py.noise"]
     torch.manual_seed(1234)
     x = torch.zeros(SHAPE)
-    if name == "voronoi256":
+    if name.startswith("voronoi"):
+        # plain voronoi is not in the reference's NoiseType registry (only
+        # voronoi_mix/_fuzz are); instantiate the generator directly, with
+        # the bench configuration (256 points)
         gen_mod = sys.modules["sonar_reference.py.noise_generation"]
         gen = gen_mod.VoronoiNoiseGenerator(
             x, sigma_min=0.03, sigma_max=14.6, normalized=True,
-            n_points=(256,), octaves=2)
+            n_points=(256,), octaves=2 if name == "voronoi256" else 1)
         return lambda: gen(torch.tensor(1.0), torch.tensor(0.9))
     ns = ref_noise.get_noise_sampler(name, x, 0.03, 14.6, seed=1234,
                                      cpu=True, normalized=True)
@@ -89,24 +92,46 @@ def _haar_dwt_anchor():
 
 
 def _scat_anchor():
-    """One DWT-mode scattering layer (lowpass + 3 biased magnitudes) over
-    a gaussian draw — the per-layer cost floor of the reference's
-    scatternet type (its DTCWT ScatLayer computes 6 complex bands)."""
+    """One level-1 DTCWT scattering layer over a gaussian draw — the
+    reference ScatLayer's cost shape (pytorch_wavelets, DTCWT mode): 4
+    (row-tree x col-tree) separable DWT combos with the near_sym_a bank
+    (tree b = one-sample-rolled input), combined into 6 oriented complex
+    magnitudes plus the averaged lowpass."""
+    import numpy as np
     import torch
     import torch.nn.functional as F
 
-    lo = torch.tensor([1.0, 1.0]) / 2.0 ** 0.5
-    hi = torch.tensor([1.0, -1.0]) / 2.0 ** 0.5
+    from sonar_tpu.wavelets.kingsbury import biort_level1_bank
+
+    bank = biort_level1_bank("near_sym_a")
+    lo = torch.tensor(np.asarray(bank.dec_lo), dtype=torch.float32)
+    hi = torch.tensor(np.asarray(bank.dec_hi), dtype=torch.float32)
     filts = torch.stack([
         torch.outer(a, b) for a in (lo, hi) for b in (lo, hi)
-    ])[:, None]
+    ])[:, None]  # (4, 1, L, L)
+    L = lo.shape[0]
+
+    def tree(x, roll_r, roll_c):
+        xr = torch.roll(x, (roll_r, roll_c), dims=(-2, -1))
+        xp = F.pad(xr, (L - 1, L - 1, L - 1, L - 1), mode="circular")
+        return F.conv2d(xp, filts, stride=2)
 
     def run():
         x = torch.randn(SHAPE)
         b, c, h, w = x.shape
-        y = F.conv2d(x.reshape(b * c, 1, h, w), filts, stride=2)
-        mags = torch.sqrt(y[:, 1:] ** 2 + 1e-4) - 1e-2
-        return torch.cat([y[:, :1], mags], 1)
+        xf = x.reshape(b * c, 1, h, w)
+        combos = {(rt, ct): tree(xf, rt, ct)
+                  for rt in (0, 1) for ct in (0, 1)}
+        ll = sum(v[:, :1] for v in combos.values()) / 4.0
+        baa, bab = combos[(0, 0)][:, 1:], combos[(0, 1)][:, 1:]
+        bba, bbb = combos[(1, 0)][:, 1:], combos[(1, 1)][:, 1:]
+        s2 = 2.0 ** 0.5
+        z1r, z1i = (baa - bbb) / s2, (bab + bba) / s2
+        z2r, z2i = (baa + bbb) / s2, (bab - bba) / s2
+        mags = torch.sqrt(
+            torch.cat([z1r, z2r], 1) ** 2
+            + torch.cat([z1i, z2i], 1) ** 2 + 1e-4) - 1e-2
+        return torch.cat([ll, mags], 1)
 
     return run
 
