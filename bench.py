@@ -80,30 +80,42 @@ def _ab_slope(fn_a, args_a, fn_b, args_b, g1=4, g2=16, reps=4):
     return sa / sb
 
 
-def _ab_slope_samples(fn_a, args_a, fn_b, args_b, g1=4, g2=16, k=5,
-                      inner=2):
+def _ab_slope_samples(fn_a, args_a, fn_b, args_b, k=5, inner=2,
+                      target_s=0.4):
     """K independent interleaved slope-ratio samples, for median + IQR
     reporting (VERDICT r2 item 7: one number per kernel instead of a
-    10x-wide min/max range). Each sample interleaves both variants at
-    both group sizes (same tunnel phase) and takes min-of-``inner`` group
-    times before forming its slope ratio."""
+    10x-wide min/max range).
+
+    Group sizes are chosen PER VARIANT so each side's large group runs
+    ~``target_s`` seconds of device work: with shared sizes a 30-70x
+    ratio leaves the fast side's slope below the ~30ms readback noise and
+    tiny-floor fallbacks inflate samples 1000x (observed). Each sample
+    interleaves both variants (same tunnel phase) and takes min-of-
+    ``inner`` group times before forming its slope ratio."""
+    def groups_for(fn, args):
+        t = max(_timeit_slope(fn, *args, reps=2), 1e-5)
+        g2 = int(min(256, max(4, round(target_s / t))))
+        return max(1, g2 // 4), g2
+
+    g1a, g2a = groups_for(fn_a, args_a)
+    g1b, g2b = groups_for(fn_b, args_b)
+    plan = (("a", fn_a, args_a, g1a), ("b", fn_b, args_b, g1b),
+            ("a", fn_a, args_a, g2a), ("b", fn_b, args_b, g2b))
     samples = []
     for _ in range(k):
-        best = {("a", g1): float("inf"), ("a", g2): float("inf"),
-                ("b", g1): float("inf"), ("b", g2): float("inf")}
+        best = {}
         for _ in range(inner):
-            for g in (g1, g2):
-                for tag, f, a in (("a", fn_a, args_a), ("b", fn_b, args_b)):
-                    t0 = time.perf_counter()
-                    for _ in range(g):
-                        out = f(*a)
-                    _force(out)
-                    best[(tag, g)] = min(best[(tag, g)],
-                                         time.perf_counter() - t0)
-        sa = max((best[("a", g2)] - best[("a", g1)]) / (g2 - g1),
-                 best[("a", g2)] / g2 * 1e-3)
-        sb = max((best[("b", g2)] - best[("b", g1)]) / (g2 - g1),
-                 best[("b", g2)] / g2 * 1e-3)
+            for tag, f, a, g in plan:
+                t0 = time.perf_counter()
+                for _ in range(g):
+                    out = f(*a)
+                _force(out)
+                dt = time.perf_counter() - t0
+                best[(tag, g)] = min(best.get((tag, g), float("inf")), dt)
+        sa = max((best[("a", g2a)] - best[("a", g1a)]) / (g2a - g1a),
+                 best[("a", g2a)] / g2a * 1e-2)
+        sb = max((best[("b", g2b)] - best[("b", g1b)]) / (g2b - g1b),
+                 best[("b", g2b)] / g2b * 1e-2)
         samples.append(sa / sb)
     return samples
 
