@@ -225,3 +225,4 @@ def test_wcfg_1d_dwt_for_3d_latents(cfg_args):
     bad = WCFGRules.build(wave="haar", level=1, high_precision_mode=False)
     with pytest.raises(RuntimeError, match="use_1d_dwt"):
         WaveletCFG(rules=bad)(args)
+
