@@ -1,0 +1,85 @@
+"""The bench harness is a driver artifact (BENCH_rNN.json): its budget /
+partial-JSON machinery must keep working even when metrics fail or run
+out of time (round 2's bench timed out and captured nothing).
+
+Subprocesses are forced onto the CPU platform: a stray bench child on
+the TPU tunnel would serialize against (or deadlock with) any real chip
+run happening elsewhere.
+"""
+
+import json
+import subprocess
+import sys
+
+_REPO = __file__.rsplit("/tests/", 1)[0]
+
+
+def _cpu_env(extra=None):
+    import os
+
+    env = {k: v for k, v in os.environ.items() if k != "PALLAS_AXON_POOL_IPS"}
+    env["JAX_PLATFORMS"] = "cpu"
+    env.update(extra or {})
+    return env
+
+
+def test_tiny_budget_still_emits_full_json_line():
+    r = subprocess.run(
+        [sys.executable, "bench.py"], capture_output=True, text=True,
+        cwd=_REPO, timeout=240,
+        env=_cpu_env({"SONAR_BENCH_BUDGET_S": "3"}))
+    assert r.returncode == 0, r.stderr[-500:]
+    data = json.loads(r.stdout.strip().splitlines()[-1])
+    assert data["unit"] == "steps/s"
+    # nothing could run — every metric is null, but the line is complete
+    assert data["value"] is None
+    assert "config3_overhead_pct" in data["extra"]
+    assert data["extra"]["metric_seconds"] == {}
+
+
+def test_emit_handles_partial_results():
+    sys.path.insert(0, _REPO)
+    import bench
+
+    # only some core metrics landed — ratios with missing pieces are null
+    out = []
+
+    class _Cap:
+        def write(self, s):
+            out.append(s)
+
+        def flush(self):
+            pass
+
+    real = sys.stdout
+    sys.stdout = _Cap()
+    try:
+        bench._emit({"sampler": 100.0, "noise": 50.0}, {"sampler": 1.2})
+    finally:
+        sys.stdout = real
+    data = json.loads("".join(out).strip())
+    assert data["value"] == 100.0
+    assert data["vs_baseline"] is None  # anchor missing
+    assert data["extra"]["config3_overhead_pct"] is None
+    assert data["extra"]["metric_seconds"] == {"sampler": 1.2}
+
+
+def test_run_one_kills_and_reports_timeout(monkeypatch):
+    monkeypatch.delenv("PALLAS_AXON_POOL_IPS", raising=False)
+    monkeypatch.setenv("JAX_PLATFORMS", "cpu")
+    monkeypatch.chdir(_REPO)
+    sys.path.insert(0, _REPO)
+    import bench
+
+    # the sampler metric cannot finish in 1.5s on CPU — _run_one must
+    # kill the child and report killed=True without hanging
+    value, killed = bench._run_one("sampler", timeout=1.5)
+    assert value is None and killed
+
+
+def test_metric_tables_consistent():
+    sys.path.insert(0, _REPO)
+    import bench
+
+    assert bench._MIN_LAUNCH["sdxl_euler"] >= 600
+    assert all(name in bench._SINGLE for name in bench._CORE + bench._EXTRAS)
