@@ -58,7 +58,9 @@ def use_voronoi_kernel() -> bool:
             and jax.default_backend() == "tpu")
 
 
-_SMEM_BUDGET = 16 * 1024  # bytes for the three whole-array point tables
+# bytes for the three whole-array point tables; Mosaic accepted 384KB on
+# the real chip (bc=32, n=1024 probe, 2026-08-17) — 256KB keeps margin
+_SMEM_BUDGET = 256 * 1024
 
 
 def voronoi_kernel_supported(h: int, w: int, k: int, dist: str,
