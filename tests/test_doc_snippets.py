@@ -10,7 +10,8 @@ import pytest
 DOCS = pathlib.Path(__file__).resolve().parents[1] / "docs"
 
 # guides whose snippets promise to run as-is
-RUNNABLE = ["power_noise.md", "freeu.md", "advanced_noise.md"]
+RUNNABLE = ["power_noise.md", "freeu.md", "advanced_noise.md",
+            "wavelet_cfg.md"]
 
 _BLOCK = re.compile(r"```python\n(.*?)```", re.DOTALL)
 
