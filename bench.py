@@ -304,10 +304,14 @@ def bench_hw_rng_speedup(shape=(1, 4, 128, 128), iters=50, reps=8) -> float:
     hw_fn, hw_st = build_fn()
     _force(hw_fn(hw_st))
     os.environ["SONAR_TPU_HW_RNG"] = "0"
-    # interleaved slope A/B: cancels both the ~30ms readback round trip
-    # (which compresses single-forced ratios toward 1) and tunnel phases
-    return _ab_slope(tf_fn, (tf_st,), hw_fn, (hw_st,),
-                     reps=max(2, reps // 2))
+    # median of interleaved per-variant-group slope samples: cancels the
+    # ~30ms readback round trip, samples both variants in each tunnel
+    # phase, and sizes groups per side (profiles/ANALYSIS.md §8)
+    import statistics
+
+    return statistics.median(
+        _ab_slope_samples(tf_fn, (tf_st,), hw_fn, (hw_st,),
+                          k=max(3, reps // 2)))
 
 
 def bench_fused_pyramid_speedup(noise_type="pyramid", shape=(4, 4, 512, 512),
@@ -347,8 +351,13 @@ def bench_fused_pyramid_speedup(noise_type="pyramid", shape=(4, 4, 512, 512),
     fused_fn, fused_st = build_fn()
     _force(fused_fn(fused_st))
     os.environ["SONAR_TPU_FUSED_PYRAMID"] = "0"
-    return _ab_slope(xla_fn, (xla_st,), fused_fn, (fused_st,),
-                     reps=max(2, reps // 2))
+    # median of per-variant-group slope samples — shared group sizes
+    # inflated extreme ratios 1000x via floor fallbacks (ANALYSIS §8)
+    import statistics
+
+    return statistics.median(
+        _ab_slope_samples(xla_fn, (xla_st,), fused_fn, (fused_st,),
+                          k=max(3, reps // 2)))
 
 
 # ---------------------------------------------------------------------------
