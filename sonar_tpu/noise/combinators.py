@@ -747,8 +747,10 @@ class BlendedNoise(WrapperNoise):
         if self.custom_noise_mask is not None:
             m, state = self.child_sample("custom_noise_mask", ctx, state, km, sigma,
                                          sigma_next, normalized=False)
-            t = jnp.clip(normalize_to_scale(m, 0.0, 1.0, dim=None) + self.noise_2_percent,
-                         0.0, 1.0)
+            # reference normalize_to_scale default: per-batch (-3,-2,-1)
+            # (py/utils.py:452-457; found by the live-reference oracle)
+            t = jnp.clip(normalize_to_scale(m, 0.0, 1.0, dim=(-3, -2, -1))
+                         + self.noise_2_percent, 0.0, 1.0)
         else:
             t = jnp.asarray(self.noise_2_percent, ctx.dtype)
         noise = self.blend_function(n1, n2, t)

@@ -96,8 +96,12 @@ def _run_ref(item_or_chain, sigmas=((1.0, 0.9),) * DRAWS, normalized=True):
 
 
 def _run_ours(item, sigmas=((1.0, 0.9),) * DRAWS, normalized=True):
+    # the reference side builds from x = zeros(SHAPE); expose the same
+    # exemplar so ctx.ref-consulting wrappers (GuidedNoise euler shift)
+    # see identical inputs
     fn, state = make_noise_sampler(item, SHAPE, seed=0, sigma_min=0.03,
-                                   sigma_max=14.6, normalized=normalized)
+                                   sigma_max=14.6, normalized=normalized,
+                                   ref_latent=jnp.zeros(SHAPE))
     outs = []
     for s, sn in sigmas:
         o, state = fn(state, jnp.asarray(s), jnp.asarray(sn))
