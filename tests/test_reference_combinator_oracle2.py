@@ -179,3 +179,55 @@ def test_resized_oracle(case):
         h, w = xh + h, xw + w
     ref, ours = _resized_pair(40 + case, (h, w), **kw)
     _check(ref, ours, tol=1e-4)
+
+
+def _run_shape_pair(ref, ours, shape, draws=3):
+    from sonar_tpu.noise import make_noise_sampler
+
+    ns = ref.make_noise_sampler(torch.zeros(shape), 0.03, 14.6, seed=0,
+                                cpu=True, normalized=True)
+    want = np.stack([ns(torch.tensor(1.0), torch.tensor(0.9)).numpy()
+                     for _ in range(draws)])
+    fn, state = make_noise_sampler(ours, shape, seed=0, sigma_min=0.03,
+                                   sigma_max=14.6,
+                                   ref_latent=jnp.zeros(shape))
+    outs = []
+    for _ in range(draws):
+        o, state = fn(state, jnp.asarray(1.0), jnp.asarray(0.9))
+        outs.append(np.asarray(o))
+    np.testing.assert_allclose(np.stack(outs), want, rtol=3e-5, atol=3e-5)
+
+
+def test_parameters_fix_invalid_oracle():
+    from sonar_tpu.noise import CustomNoiseParametersNoise
+
+    s = _stream(7, 50)
+    s[:, 0, 0, 0, 0] = np.nan
+    s[:, 1, 1, 1, 1] = np.inf
+    s[:, 1, 2, 2, 2] = -np.inf
+    ra, oa = (RefStreamItem(1.0, stream=s), OurStreamItem(1.0, stream=s))
+    ref = ref_noise.CustomNoiseParametersNoise(
+        1.0, noise=ref_noise.CustomNoiseChain([ra]), normalize=None,
+        fix_invalid=True, override_dtype=None, override_device=None,
+        frames_to_channels=False, ensure_square_aspect_ratio=False,
+        rng_mode="default", rng_offset_mode="disabled", rng_state_offset=0)
+    ours = CustomNoiseParametersNoise(
+        1.0, noise=NoiseChain([oa]), fix_invalid=True)
+    _run_shape_pair(ref, ours, SHAPE)
+
+
+def test_parameters_square_aspect_oracle():
+    from sonar_tpu.noise import CustomNoiseParametersNoise
+
+    latent_shape = (2, 3, 6, 10)  # hw = sqrt(60) -> padded to 8x8
+    inner_shape = (2, 3, 8, 8)
+    s = _stream(7, 51, shape=inner_shape)
+    ra, oa = (RefStreamItem(1.0, stream=s), OurStreamItem(1.0, stream=s))
+    ref = ref_noise.CustomNoiseParametersNoise(
+        1.0, noise=ref_noise.CustomNoiseChain([ra]), normalize=None,
+        fix_invalid=False, override_dtype=None, override_device=None,
+        frames_to_channels=False, ensure_square_aspect_ratio=True,
+        rng_mode="default", rng_offset_mode="disabled", rng_state_offset=0)
+    ours = CustomNoiseParametersNoise(
+        1.0, noise=NoiseChain([oa]), ensure_square_aspect_ratio=True)
+    _run_shape_pair(ref, ours, latent_shape)
