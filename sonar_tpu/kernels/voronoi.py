@@ -89,20 +89,30 @@ def _make_kernel(n_points: int, h: int, w: int, tile: int, k: int,
         def body(n, mins):
             # rank-1 broadcasts: dy is (tile, 1), dx is (1, w) — the
             # expensive per-(pixel, point) work only happens at the
-            # combine, and values match the XLA broadcast exactly
+            # combine, and values match the XLA broadcast exactly. The
+            # z term has no pixel dependence, so its squared/abs/power
+            # form arrives precomputed per point (dz_ref).
+            #
+            # NOTE (measured, ANALYSIS §6 addendum): ranking by the
+            # squared/p-power PRE-distance and applying sqrt / ^(1/p) to
+            # just the k winners outside the kernel is 12-15% faster —
+            # but it surfaces cross-compiler (Mosaic FMA vs XLA) ulp
+            # differences in the sums as rank-boundary flips (~5 per
+            # million pixels, 1 ulp). The in-kernel sqrt COMPRESSES
+            # those ulp sum differences to equal floats, which is what
+            # makes the kernel bit-exact vs the XLA path on hardware —
+            # the property that justifies default-on. Exactness wins.
             dy = ((gy - fy_ref[i, n] + 0.5) % 1.0 - 0.5) * wy
             dx = ((gx - fx_ref[i, n] + 0.5) % 1.0 - 0.5) * wx
-            dz = dz_ref[i, n]  # z-weighted wrapped diff, precomputed
+            dz = dz_ref[i, n]
             if dist == "euclidean":
-                d = jnp.sqrt(dy * dy + dx * dx + dz * dz)
+                d = jnp.sqrt(dy * dy + dx * dx + dz)
             elif dist == "quadratic":
-                d = dy * dy + dx * dx + dz * dz
+                d = dy * dy + dx * dx + dz
             elif dist == "chebyshev":
-                d = jnp.maximum(jnp.maximum(jnp.abs(dy), jnp.abs(dx)),
-                                jnp.abs(dz))
+                d = jnp.maximum(jnp.maximum(jnp.abs(dy), jnp.abs(dx)), dz)
             else:  # minkowski
-                d = (jnp.abs(dy) ** p + jnp.abs(dx) ** p
-                     + jnp.abs(dz) ** p) ** (1.0 / p)
+                d = (jnp.abs(dy) ** p + jnp.abs(dx) ** p + dz) ** (1.0 / p)
             # sorted-insert: mins stays ascending; ties preserved exactly
             out = []
             for j in range(k):
@@ -163,9 +173,11 @@ def voronoi_ksmallest(fp, ys, xs, z_norm, *, scale: float, k: int,
 
     Everything with no (pixel × point) dependence is precomputed here in
     XLA with the exact default-path op sequence — the scaled/wrapped grid
-    vectors and the per-point z diff — so kernel values match the XLA
-    composition bit-for-bit. The weight mode's per-axis weights multiply
-    the *wrapped* diffs (reference weight semantics)."""
+    vectors and the per-point z diff (in the pre-distance form the kernel
+    ranks by: squared for euclidean/quadratic, |.| for chebyshev, |.|^p
+    for minkowski) — so kernel values match the XLA composition
+    bit-for-bit. The weight mode's per-axis weights multiply the
+    *wrapped* diffs (reference weight semantics)."""
     b, c, n, _ = fp.shape
     h, w = ys.shape[0], xs.shape[0]
     wy, wx, wz = (float(v) for v in weights)
@@ -175,8 +187,15 @@ def voronoi_ksmallest(fp, ys, xs, z_norm, *, scale: float, k: int,
     gy = ((ys.astype(jnp.float32) * scale) % 1.0).reshape(h, 1)
     gx = ((xs.astype(jnp.float32) * scale) % 1.0).reshape(1, w)
     gz = (jnp.float32(z_norm) * scale) % 1.0
-    dz = (((gz - fm[..., 2] + 0.5) % 1.0 - 0.5) * wz).reshape(b * c, n)
-    out = _voronoi_call(gy, gx, fy, fx, dz, bc=b * c, n=n, h=h, w=w, k=k,
+    dzw = ((gz - fm[..., 2] + 0.5) % 1.0 - 0.5) * wz
+    if dist in ("euclidean", "quadratic"):
+        dz = dzw * dzw
+    elif dist == "chebyshev":
+        dz = jnp.abs(dzw)
+    else:  # minkowski
+        dz = jnp.abs(dzw) ** p
+    out = _voronoi_call(gy, gx, fy, fx, dz.reshape(b * c, n),
+                        bc=b * c, n=n, h=h, w=w, k=k,
                         dist=dist, p=float(p),
                         wy=wy, wx=wx, interpret=interpret)
     return jnp.moveaxis(out.reshape(b, c, k, h, w), 2, -1)
