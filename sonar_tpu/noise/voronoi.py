@@ -18,9 +18,7 @@ batched elementwise + sort, MXU-free but VPU-friendly; N is static.
 
 from __future__ import annotations
 
-import math
 import os
-from typing import Callable
 
 import jax
 import jax.numpy as jnp

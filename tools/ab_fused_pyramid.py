@@ -9,7 +9,6 @@ Usage: python tools/ab_fused_pyramid.py [B C H W ITERS REPS [NOISE_TYPE]]
 import os
 import pathlib
 import sys
-import time
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
