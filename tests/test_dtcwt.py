@@ -154,3 +154,78 @@ def test_scatternet_dtcwt_backend():
     noise, _ = fn(st, None, None)
     assert noise.shape == (1, 4, 16, 16)
     assert np.isfinite(np.asarray(noise)).all()
+
+
+def test_scat_layer_band_major_layout():
+    """pytorch_wavelets ScatLayer layout: (B, 7, C, H', W') viewed as
+    (B, 7C) — band-major, so channels [0:C] are the lowpass and the rest
+    are biased magnitudes (≥ 0)."""
+    from sonar_tpu.noise.scatternet import scat_layer_dwt
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((2, 4, 32, 32)), jnp.float32)
+    out = scat_layer_dtcwt(x)
+    assert out.shape == (2, 28, 16, 16)
+    assert float(out[:, 4:].min()) >= -1e-6  # magnitudes after the lowpass
+    assert float(out[:, :4].min()) < -1e-3   # lowpass of noise goes negative
+    d = scat_layer_dwt(x)
+    assert d.shape[1] == 16
+    assert float(d[:, 4:].min()) >= -1e-6
+    assert float(d[:, :4].min()) < -1e-3
+
+
+def test_scat_layer_j2_structure():
+    """True second-order layer: ×49 channels, ÷4 spatial, band-major
+    [lowpass, S1_j1@2 (6), S1_j2 (6), S2 (36)]; S1_j2 must equal the
+    level-2 magnitudes of a plain 2-level DTCWT (same banks)."""
+    from sonar_tpu.noise.scatternet import scat_layer_j2
+
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.standard_normal((1, 2, 32, 32)), jnp.float32)
+    out = scat_layer_j2(x)
+    assert out.shape == (1, 98, 8, 8)
+    assert float(out[:, 2:].min()) >= -1e-6
+    # S1_j2 block: channels [(1+6)*C : (1+6+6)*C], band-major
+    yls, yhs = dtcwt2d(x, level=2)
+    z = yhs[1]
+    bias = 1e-2
+    mags = jnp.sqrt(jnp.real(z) ** 2 + jnp.imag(z) ** 2 + bias**2) - bias
+    want = np.asarray(jnp.moveaxis(mags, 2, 1)).reshape(1, 12, 8, 8)
+    got = np.asarray(out[:, 14:26])
+    np.testing.assert_allclose(got, want, atol=1e-5)
+    # lowpass block is the tree-averaged 2-level lowpass
+    want_lp = np.asarray(sum(yls) / 4.0)
+    np.testing.assert_allclose(np.asarray(out[:, :2]), want_lp, atol=1e-5)
+
+
+def test_scat_layer_j2_differs_from_stacked():
+    """Order 2 is NOT two stacked first-order layers (the pre-fix
+    behavior): the level-2/second-order bands use different filters."""
+    from sonar_tpu.noise.scatternet import scat_layer_j2
+
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((1, 1, 32, 32)), jnp.float32)
+    j2 = scat_layer_j2(x)
+    stacked = scat_layer_dtcwt(scat_layer_dtcwt(x))
+    assert j2.shape == stacked.shape == (1, 49, 8, 8)
+    assert float(jnp.abs(j2 - stacked).max()) > 1e-2
+
+
+def test_scatternet_generator_order2():
+    for backend in ("dtcwt", "dwt"):
+        item = ScatternetFilteredNoise(
+            output_mode="channels_adjusted", scatternet_order=2,
+            wavelet_backend=backend)
+        fn, st = make_noise_sampler(item, (1, 4, 16, 16), seed=0)
+        noise, _ = fn(st, None, None)
+        assert noise.shape == (1, 4, 16, 16), backend
+        assert np.isfinite(np.asarray(noise)).all(), backend
+
+
+def test_scatternet_symmetric_filter_banks():
+    item = ScatternetFilteredNoise(
+        output_mode="channels_adjusted", scatternet_order=2,
+        use_symmetric_filter=True)
+    fn, st = make_noise_sampler(item, (1, 4, 16, 16), seed=0)
+    noise, _ = fn(st, None, None)
+    assert np.isfinite(np.asarray(noise)).all()

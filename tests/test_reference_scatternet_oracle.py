@@ -34,6 +34,7 @@ from sonar_tpu.noise.base import NoiseCtx
 from sonar_tpu.noise.scatternet import (
     ScatternetFilteredGenerator,
     scat_layer_dtcwt,
+    scat_layer_j2,
 )
 
 SHAPE = (1, 4, 32, 32)
@@ -49,13 +50,28 @@ def _install_scatlayer_stub():
     class _ScatLayer(torch.nn.Module):
         def __init__(self, mode="symmetric", biort="near_sym_a", **_kw):
             super().__init__()
+            self.biort = biort
 
         def forward(self, x):
             out = scat_layer_dtcwt(
-                jnp.asarray(x.detach().cpu().float().numpy()))
+                jnp.asarray(x.detach().cpu().float().numpy()),
+                biort=self.biort)
+            return torch.from_numpy(np.asarray(out))
+
+    class _ScatLayerj2(torch.nn.Module):
+        def __init__(self, mode="symmetric", biort="near_sym_a",
+                     qshift="qshift_a", **_kw):
+            super().__init__()
+            self.biort, self.qshift = biort, qshift
+
+        def forward(self, x):
+            out = scat_layer_j2(
+                jnp.asarray(x.detach().cpu().float().numpy()),
+                biort=self.biort, qshift=self.qshift)
             return torch.from_numpy(np.asarray(out))
 
     ptwav.ScatLayer = _ScatLayer
+    ptwav.ScatLayerj2 = _ScatLayerj2
     gen_mod = sys.modules["sonar_reference.py.noise_generation"]
     # the module captured `ptwav` at import; attribute lookup is dynamic
     assert gen_mod.ptwav is ptwav or True
@@ -120,6 +136,21 @@ CASES = [
          scatternet_order=-2),
     dict(output_mode="channels_adjusted", output_offset=0.0,
          scatternet_order=0),
+    # true second-order layer (reference: ptwav.ScatLayerj2 branch,
+    # py/noise_generation.py:2061-2066)
+    dict(output_mode="channels_adjusted", output_offset=0.0,
+         scatternet_order=2),
+    dict(output_mode="channels_adjusted", output_offset=3.0,
+         scatternet_order=2),
+    dict(output_mode="channels_adjusted", output_offset=0.5,
+         scatternet_order=2),
+    dict(output_mode="channels", output_offset=1.0, scatternet_order=2),
+    dict(output_mode="flat_adjusted", output_offset=0.25,
+         scatternet_order=2),
+    dict(output_mode="channels_adjusted", output_offset=1.0,
+         scatternet_order=2, per_channel_scatternet=True),
+    dict(output_mode="channels_adjusted", output_offset=0.0,
+         scatternet_order=2, use_symmetric_filter=True),
 ]
 
 

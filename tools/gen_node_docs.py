@@ -151,12 +151,16 @@ DESC: dict[str, tuple[str, str]] = {
         "keys)."),
     "SonarScatternetFilteredNoise": (
         "Push child noise through a scattering transform.",
-        "`scatternet_order` stacks scattering layers (channel count multiplies "
-        "per order); `output_mode` picks how the scattering channels map back "
-        "to the latent; `use_symmetric_filter` selects the symmetric filter "
-        "bank. The default backend is the DWT approximation (×4 channels); "
-        "set `wavelet_backend=\"dtcwt\"` for the reference ScatLayer's ×7 "
-        "DTCWT semantics."),
+        "`scatternet_order` selects the depth: 1 = one ScatLayer (×7 "
+        "channels, ÷2 spatial), 2 = the true second-order ScatLayerj2 "
+        "(×49 channels, ÷4 spatial; level-2 q-shift filters and "
+        "second-order re-scattering of the level-1 magnitudes), other "
+        "values stack |order| first-order layers. `output_mode` picks how "
+        "the scattering channels map back to the latent; "
+        "`use_symmetric_filter` switches to the near_sym_b_bp/qshift_b_bp "
+        "banks. The default backend is the reference ScatLayer's ×7 DTCWT "
+        "(`wavelet_backend=\"dtcwt\"`); `wavelet_backend=\"dwt\"` is a "
+        "cheaper ×4-channel real-DWT variant."),
     "SonarRippleFilteredNoise": (
         "Multiply noise by a moving sine/cosine wave along one dimension.",
         "`mode` sin/cos (+_copysign variants reassign signs); `period`, "
@@ -407,6 +411,31 @@ def main() -> None:
                       "Framework extras: " + ", ".join(
                           f"`{e}`" for e in sorted(extra))]
         lines.append("")
+    lines += [
+        "",
+        "## Scheduler nodes (native host-node implementations)",
+        "",
+        "These ComfyUI core / custom-sampling nodes build natively so ported",
+        "workflows carry their sigma schedules (`sonar_tpu.samplers.get_sigmas`):",
+        "",
+        "| node | parameters | notes |",
+        "|---|---|---|",
+        "| `BasicScheduler` | `scheduler` (normal, sgm_uniform, karras, "
+        "exponential, polyexponential, simple, ddim_uniform, beta, "
+        "kl_optimal, linear_quadratic), `steps`, `denoise` | `model` link → "
+        "`model_sampling`; `denoise < 1` keeps the final `steps` of a "
+        "`steps/denoise` schedule |",
+        "| `KarrasScheduler` | `steps`, `sigma_max`, `sigma_min`, `rho` | "
+        "Karras et al. rho-ramp |",
+        "| `ExponentialScheduler` | `steps`, `sigma_max`, `sigma_min` | "
+        "log-linear ramp |",
+        "| `PolyexponentialScheduler` | `steps`, `sigma_max`, `sigma_min`, "
+        "`rho` | polynomial ramp in log-sigma |",
+        "",
+        "All return a descending `steps + 1` float32 array ending in 0.0; "
+        "a ported",
+        "workflow's schedule is `PortResult.sigmas`.",
+    ]
     out = os.path.join(HERE, "..", "docs", "node_reference.md")
     with open(out, "w") as fp:
         fp.write("\n".join(lines))
