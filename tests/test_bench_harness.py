@@ -83,3 +83,38 @@ def test_metric_tables_consistent():
 
     assert bench._MIN_LAUNCH["sdxl_euler"] >= 600
     assert all(name in bench._SINGLE for name in bench._CORE + bench._EXTRAS)
+
+
+def test_proxy_pair_registered():
+    """The shrunk-SDXL proxy pair must sit in the core priority order
+    BEFORE the full SDXL metrics (its purpose is landing an overhead
+    number when the two ~800s uncacheable SDXL compiles don't fit the
+    budget) and must emit its own overhead field."""
+    sys.path.insert(0, _REPO)
+    import bench
+
+    core = bench._CORE
+    assert core.index("proxy_euler") < core.index("sdxl_euler")
+    assert core.index("proxy_config3") < core.index("sdxl_config3")
+    # a hopeless launch must be gated, not attempted-and-killed (a kill
+    # stops the whole launch loop)
+    assert bench._MIN_LAUNCH["proxy_euler"] >= 300
+
+    out = []
+
+    class _Cap:
+        def write(self, s):
+            out.append(s)
+
+        def flush(self):
+            pass
+
+    real = sys.stdout
+    sys.stdout = _Cap()
+    try:
+        bench._emit({"proxy_euler": 5.0, "proxy_config3": 5.5}, {})
+    finally:
+        sys.stdout = real
+    data = json.loads("".join(out).strip())
+    assert data["extra"]["config3_overhead_proxy_pct"] == 10.0
+    assert data["extra"]["config3_overhead_pct"] is None
