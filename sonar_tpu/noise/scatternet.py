@@ -181,7 +181,6 @@ class ScatternetFilteredGenerator(Generator):
     name = "scatternetfilter"
     MIN_DIMS = 4
     MAX_DIMS = 4
-    CHANNEL_MULT = 4  # per-layer channel multiplier: DWT=4, DTCWT=7
 
     @classmethod
     def ng_params(cls):
