@@ -34,7 +34,7 @@ SHAPE = (1, 4, 128, 128)
 NPIX = SHAPE[0] * SHAPE[1] * SHAPE[2] * SHAPE[3]
 
 REF_TYPES = ["pyramid", "pyramid_old", "highres_pyramid", "voronoi",
-             "collatz"]
+             "collatz", "perlin", "onef_pinkish", "studentt", "distro"]
 ALL_TYPES = REF_TYPES + ["voronoi256", "wavelet", "scatternet"]
 
 
@@ -56,6 +56,14 @@ def _ref_sampler(name):
         gen = gen_mod.VoronoiNoiseGenerator(
             x, sigma_min=0.03, sigma_max=14.6, normalized=True,
             n_points=(256,), octaves=2 if name == "voronoi256" else 1)
+        return lambda: gen(torch.tensor(1.0), torch.tensor(0.9))
+    if name == "distro":
+        # distro is a parameterized node, not a NoiseType registry entry —
+        # instantiate the generator directly with its defaults (normal +
+        # quantile_norm 0.85 machinery, py/noise_generation.py:805-1256)
+        gen_mod = sys.modules["sonar_reference.py.noise_generation"]
+        gen = gen_mod.DistroNoiseGenerator(
+            x, sigma_min=0.03, sigma_max=14.6, normalized=True)
         return lambda: gen(torch.tensor(1.0), torch.tensor(0.9))
     ns = ref_noise.get_noise_sampler(name, x, 0.03, 14.6, seed=1234,
                                      cpu=True, normalized=True)
@@ -161,10 +169,15 @@ def measure_tpu(name: str) -> float:
 
         bst.ITEMS["voronoi256"] = lambda: VoronoiGenerator(
             n_points=(256,), octaves=2)
-    if name in ("pyramid", "highres_pyramid"):
+    if name in ("pyramid", "highres_pyramid", "perlin", "onef_pinkish",
+                "studentt"):
         from sonar_tpu.noise.presets import get_noise_item
 
         bst.ITEMS[name] = lambda: get_noise_item(name)
+    if name == "distro":
+        from sonar_tpu.noise.distro import DistroGenerator
+
+        bst.ITEMS["distro"] = lambda: DistroGenerator()
     return bst.measure(name, iters=20)
 
 
