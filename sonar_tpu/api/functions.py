@@ -138,12 +138,16 @@ def noise_image(
     if greyscale_mode:
         result = jnp.broadcast_to(jnp.mean(result, axis=1, keepdims=True), x.shape)
     if noise_max != 0 and noise_min != noise_max:
-        result = normalize_to_scale(result, noise_min, noise_max, dim=None)
+        # default per-batch-item dims, matching utils.normalize_to_scale's
+        # default (py/utils.py:457) as invoked by misc.py:339
+        result = normalize_to_scale(result, noise_min, noise_max)
     result = result * noise_multiplier
-    tg = jnp.asarray(targets)
-    x = x.at[:, tg].set(blend_function(x[:, tg], result[:, tg], blend_strength))
+    if targets:  # e.g. channel_mode="A" on RGB selects nothing (misc.py:289)
+        tg = jnp.asarray(targets, jnp.int32)
+        x = x.at[:, tg].set(
+            blend_function(x[:, tg], result[:, tg], blend_strength))
     if overflow_mode == "rescale":
-        x = normalize_to_scale(x, 0.0, 1.0, dim=None)
+        x = normalize_to_scale(x, 0.0, 1.0)
     else:
         x = jnp.clip(x, 0.0, 1.0)
     out = jnp.moveaxis(x, 1, -1)
