@@ -787,21 +787,53 @@ def polyexponential_scheduler(*, steps=20, sigma_max=14.614642,
 @register_node("SonarToComfyNOISE")
 def to_comfy_noise(*, sonar_custom_noise, **kwargs):
     """Adapter exposing ComfyUI's NOISE protocol surface
-    (``generate_noise(input_latent)``) — py/nodes/misc.py:360-419."""
-    from .functions import noisy_latent_like as _nll
+    (``generate_noise(input_latent)``) — py/nodes/misc.py:360-419,
+    including the batch_index remapping: noise is generated per unique
+    batch index with seed+idx (wrapping into the latent batch), skipped
+    indices still advance the seed sequence, and the draws are gathered
+    back in inverse order (misc.py:395-419)."""
+    import numpy as np
+
+    from ..noise.base import make_noise_sampler as _mns
 
     class _Noise:
-        def __init__(self, item, seed=0):
+        def __init__(self, item, seed=0, *, normalize=True, multiplier=1.0):
             self.item = item
             self.seed = seed
+            self.normalize = normalize
+            self.multiplier = multiplier
+
+        def _sample_noise(self, samples, seed):
+            fn, state = _mns(self.item, samples.shape, dtype=samples.dtype,
+                             seed=seed, normalized=self.normalize,
+                             ref_latent=samples)
+            noise, _ = fn(state, None, None)
+            return noise if self.multiplier == 1.0 else noise * self.multiplier
 
         def generate_noise(self, input_latent):
+            is_dict = isinstance(input_latent, dict)
             samples = jnp.asarray(
-                input_latent["samples"] if isinstance(input_latent, dict)
-                else input_latent)
-            return _nll(samples, custom_noise=self.item, seed=self.seed)
+                input_latent["samples"] if is_dict else input_latent)
+            batch_inds = input_latent.get("batch_index") if is_dict else None
+            if self.multiplier == 0.0:
+                return jnp.zeros(samples.shape, samples.dtype)
+            if batch_inds is None:
+                return self._sample_noise(samples, self.seed)
+            unique_inds, inverse_inds = np.unique(
+                np.asarray(batch_inds), return_inverse=True)
+            batch_size = samples.shape[0]
+            result = []
+            for idx in range(int(unique_inds[-1]) + 1):
+                noise = self._sample_noise(
+                    samples[idx % batch_size][None], self.seed + idx)
+                if idx in unique_inds:
+                    result.append(noise)
+            return jnp.concatenate(
+                [result[i] for i in inverse_inds], axis=0)
 
-    return _Noise(sonar_custom_noise.clone(), kwargs.get("seed", 0))
+    return _Noise(sonar_custom_noise.clone(), kwargs.get("seed", 0),
+                  normalize=kwargs.get("normalize", True),
+                  multiplier=kwargs.get("multiplier", 1.0))
 
 
 # The reference registers this node under the literal mapping name
