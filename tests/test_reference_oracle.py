@@ -248,3 +248,24 @@ def test_channel_mixer_oracle():
     got = np.asarray(build_channel_mixer(4, 0.5, [1.0, 0.5, 0.2, 0.7, 0.1, 0.4]),
                      np.float32)
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+
+@pytest.mark.parametrize("size", [(32, 32), (32, 48)], ids=["sq", "rect"])
+def test_power_filter_preview_oracle(size):
+    """The preview render pipeline (PowerFilter.preview raw path,
+    py/nodes/powernoise.py:268-294): rfft->fft2 unfold, ortho irfft2
+    kernel + fftshift roll, tanh gain mapping, uint8 assembly."""
+    from sonar_tpu.api import preview_power_filter
+
+    kwargs = dict(alpha=0.4, min_freq=0.05, max_freq=0.45, rel_bw=0.3)
+    f_img, k_img = ref_pn.PowerFilter(**kwargs).preview(
+        size=size, mix=0.8, normalization_factor=0.9, raw=True,
+        kernel_gain=0.4, filter_gain=0.25)
+    want = (torch.cat((f_img, k_img), dim=-1)
+            .clamp(0, 255).to(torch.uint8)[0, 0].numpy())
+    got = preview_power_filter(
+        PowerFilter(**kwargs), size=size, mix=0.8,
+        normalization_factor=0.9, kernel_gain=0.4, filter_gain=0.25)
+    assert got.shape == want.shape
+    # uint8 quantization makes off-by-one the only acceptable fp slack
+    assert np.abs(got.astype(int) - want.astype(int)).max() <= 1
