@@ -85,9 +85,11 @@ class FreeUExtremeConfig:
         want = "skip" if is_skip else "backbone"
         return self.target in {want, "both"}
 
-    def apply(self, x, pct):
-        """Filtered + scaled channel slice blended back; window gating is a
-        traced select on ``pct``."""
+    def apply(self, x, apply_mask):
+        """Filtered + scaled channel slice blended back
+        (freeu_extreme.py:205-230); ``apply_mask`` is the traced scalar
+        "this config matched" gate (pct window + not shadowed by an
+        earlier matching ``final`` config — the handler computes it)."""
         features = x.shape[1]
         slice_size = int(features * self.slice)
         slice_offs = int(features * self.slice_offset)
@@ -98,16 +100,11 @@ class FreeUExtremeConfig:
                                normalization_factor=self.filter_norm)
         else:
             filtered = xs
-        scale_slice = (
-            scale if isinstance(scale, (int, float))
-            else scale  # hidden-mean scale broadcasts over channel slice
-        )
-        xslice = filtered * scale_slice
+        xslice = filtered * scale  # hidden-mean scale broadcasts over slice
         if self.blend != 1.0:
             xslice = BLENDING_MODES[self.blend_mode](xs, xslice, self.blend)
-        in_window = (pct >= self.start) & (pct <= self.end)
         new_x = x.at[:, slice_offs : slice_offs + slice_size].set(xslice)
-        return jnp.where(in_window, new_x, x)
+        return jnp.where(apply_mask, new_x, x)
 
 
 def _stage_of(channels: int, model_channels: int) -> int | None:
@@ -135,14 +132,21 @@ def make_freeu_patches(*, model_sampling, model_channels: int,
             return x_nhwc
         sigma = jnp.max(jnp.asarray(ctx["sigma"]))
         pct = 1.0 - model_sampling.timestep(sigma) / 999.0
+        # Traced port of the reference's match loop
+        # (freeu_extreme.py:199-203, 306-313): a config applies when its
+        # pct window matches AND no earlier matching `final` config
+        # shadowed it; an out-of-window `final` config does NOT stop the
+        # scan (the reference only breaks after a *matched* final).
+        shadowed = jnp.asarray(False)
         applied = False
         for cfg in cfgs:
             if not cfg.stage_enabled(stage) or not cfg.target_matches(is_skip):
                 continue
-            x = cfg.apply(x, pct)
+            in_window = (pct >= cfg.start) & (pct <= cfg.end)
+            x = cfg.apply(x, in_window & ~shadowed)
             applied = True
             if cfg.final:
-                break
+                shadowed = shadowed | in_window
         if not applied:
             return x_nhwc
         return jnp.transpose(x, (0, 2, 3, 1))
