@@ -869,6 +869,11 @@ def wavelet_cfg_node(*, yaml_parameters=None, existing_cfg=None,
                      operation_wavelet_cfg=None, operation_result=None,
                      **kwargs):
     params = dict(kwargs)
+    # the node widget's -1 sentinel means "model sigma_max"; the reference
+    # converts it to inf BEFORE the YAML merge, so a YAML-supplied negative
+    # start_sigma stays raw (py/nodes/misc.py:864-866)
+    if params.get("start_sigma", 0.0) < 0:
+        params["start_sigma"] = math.inf
     if yaml_parameters:
         import yaml
 

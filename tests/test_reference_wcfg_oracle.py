@@ -217,3 +217,79 @@ def test_wcfg_rule_selection_matches_reference():
     want = _run_reference(params, 0.1)
     got = _run_ours(params, 0.1)
     np.testing.assert_allclose(got, want, atol=1e-4, rtol=2e-5)
+
+
+def test_wcfg_node_construction_matches_reference():
+    """Node-level construction (SonarWaveletCFGNode.go, py/nodes/misc.py:
+    846-896): YAML-over-field merge, the start_sigma=-1 -> model-max
+    sentinel (converted BEFORE the YAML merge), fallback_mode wiring, and
+    installation — compared functionally by driving both constructed CFG
+    functions on identical args."""
+    import importlib
+
+    _install_faithful_ptwav()
+    ref_misc = importlib.import_module("sonar_reference.py.nodes.misc")
+    from sonar_tpu.api import build
+
+    yaml_str = (
+        "difference:\n"
+        "    yl_scale: 8.0\n"
+        "    yh_scales: 3.0\n"
+        "wave: db4\n"
+        "level: 3\n"
+        "padding_mode: periodization\n"
+        "high_precision_mode: false\n"
+    )
+    node_kw = dict(start_sigma=-1.0, end_sigma=0.0, fallback_mode="own",
+                   blend_mode="lerp", blend_strength=1.0,
+                   yaml_parameters=yaml_str)
+
+    class _Patcher:
+        model_options = {}
+
+        def __init__(self):
+            self.captured = {}
+
+        def clone(self):
+            return self
+
+        def set_model_sampler_cfg_function(self, f):
+            self.captured["cfg"] = f
+
+    patcher = _Patcher()
+    ref_misc.SonarWaveletCFGNode.go(model=patcher, **node_kw)
+    ref_cfg = patcher.captured["cfg"]
+    ours = build("SonarWaveletCFG", **node_kw)
+
+    ms = DiscreteSampling()
+    for sigma in (14.6, 7.0, 0.5):  # 14.6 exercises the -1 -> inf sentinel
+        x, cond_d, uncond_d = _tensors(31)
+        args = {
+            "input": torch.from_numpy(x),
+            "sigma": torch.tensor([sigma]),
+            "cond": torch.from_numpy(x - cond_d),
+            "uncond": torch.from_numpy(x - uncond_d),
+            "cond_denoised": torch.from_numpy(cond_d),
+            "uncond_denoised": torch.from_numpy(uncond_d),
+            "cond_scale": 7.5,
+            "model": _Model(ms),
+            "model_options": {"transformer_options": {
+                "sample_sigmas": torch.from_numpy(SIGMAS)}},
+        }
+        want = ref_cfg(args).numpy()
+        got = np.asarray(ours(dict(
+            input=jnp.asarray(x), sigma=jnp.asarray([sigma]),
+            cond=jnp.asarray(x - cond_d), uncond=jnp.asarray(x - uncond_d),
+            cond_denoised=jnp.asarray(cond_d),
+            uncond_denoised=jnp.asarray(uncond_d),
+            cond_scale=7.5, model_sampling=ms, sample_sigmas=SIGMAS,
+        )))
+        scale = max(np.abs(want).max(), 1.0)
+        np.testing.assert_allclose(got, want, atol=5e-5 * scale, rtol=2e-5,
+                                   err_msg=f"sigma={sigma}")
+        # the wavelet rule must actually fire at high sigma (sentinel bug
+        # regression): a live rule differs from plain CFG
+        if sigma == 14.6:
+            plain = x + 7.5 * (cond_d - uncond_d)
+            assert np.abs(want - plain).max() > 1e-3
+            assert np.abs(got - plain).max() > 1e-3
