@@ -269,3 +269,20 @@ def test_power_filter_preview_oracle(size):
     assert got.shape == want.shape
     # uint8 quantization makes off-by-one the only acceptable fp slack
     assert np.abs(got.astype(int) - want.astype(int)).max() <= 1
+
+
+def test_blending_modes_oracle():
+    """The reference's core BLENDING_MODES table (py/utils.py:17-21);
+    the rest of our table is native+ surface from the bleh extension."""
+    from sonar_tpu.core.blend import BLENDING_MODES
+
+    a = _rand((2, 4, 8, 8), seed=20)
+    b = _rand((2, 4, 8, 8), seed=21, scale=2.0, offset=-0.3)
+    for mode in ("lerp", "inject", "subtract_b"):
+        want = ref_utils.BLENDING_MODES[mode](
+            torch.tensor(a.copy()), torch.tensor(b.copy()),
+            torch.tensor(0.37)).numpy()
+        got = np.asarray(BLENDING_MODES[mode](jnp.asarray(a), jnp.asarray(b),
+                                              jnp.asarray(0.37)))
+        np.testing.assert_allclose(got, want, rtol=2e-6, atol=2e-7,
+                                   err_msg=mode)
