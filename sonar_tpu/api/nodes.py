@@ -822,12 +822,15 @@ def to_comfy_noise(*, sonar_custom_noise, **kwargs):
             unique_inds, inverse_inds = np.unique(
                 np.asarray(batch_inds), return_inverse=True)
             batch_size = samples.shape[0]
-            result = []
-            for idx in range(int(unique_inds[-1]) + 1):
-                noise = self._sample_noise(
-                    samples[idx % batch_size][None], self.seed + idx)
-                if idx in unique_inds:
-                    result.append(noise)
+            # the reference must generate-and-discard absent indices
+            # because its draws advance torch's global RNG; ours seed each
+            # draw explicitly with seed+idx, so skipping the absent
+            # indices is bit-identical and avoids the throwaway work
+            result = [
+                self._sample_noise(samples[int(idx) % batch_size][None],
+                                   self.seed + int(idx))
+                for idx in unique_inds
+            ]
             return jnp.concatenate(
                 [result[i] for i in inverse_inds], axis=0)
 

@@ -125,9 +125,14 @@ def make_freeu_patches(*, model_sampling, model_channels: int,
     mcfg = () if middle_config is None else tuple(middle_config.get_config_list())
     ocfg = () if output_config is None else tuple(output_config.get_config_list())
 
-    def handler(cfgs, x_nhwc, ctx, is_skip=False):
+    def handler(cfgs, x_nhwc, ctx, is_skip=False, stage_channels=None):
         x = jnp.transpose(x_nhwc, (0, 3, 1, 2))
-        stage = _stage_of(x.shape[1], model_channels)
+        # the reference derives the skip tensor's stage from the BACKBONE
+        # h's channel count, not hsp's own (freeu_extreme.py:311-313 passes
+        # h.shape for both) — at channel-transition output blocks they differ
+        stage = _stage_of(
+            x.shape[1] if stage_channels is None else int(stage_channels),
+            model_channels)
         if stage is None:
             return x_nhwc
         sigma = jnp.max(jnp.asarray(ctx["sigma"]))
@@ -160,7 +165,8 @@ def make_freeu_patches(*, model_sampling, model_channels: int,
         patches["output"] = [
             lambda h, hsp, ctx: (
                 handler(ocfg, h, ctx),
-                handler(ocfg, hsp, ctx, is_skip=True),
+                handler(ocfg, hsp, ctx, is_skip=True,
+                        stage_channels=h.shape[-1]),
             )
         ]
     return patches

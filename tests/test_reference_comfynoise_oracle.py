@@ -102,5 +102,13 @@ def test_comfy_noise_adapter_oracle(case, monkeypatch):
     got = np.asarray(ours.generate_noise(our_in))
 
     np.testing.assert_allclose(got, want, rtol=2e-6, atol=2e-7, err_msg=case)
-    # the (shape, seed, normalized) call sequences must agree exactly
-    assert our_log == ref_log, case
+    # the reference generates-and-discards absent indices (its draws
+    # advance torch's global RNG); our explicit seed+idx draws let us skip
+    # them bit-identically, so our call sequence must equal the reference's
+    # restricted to the kept (unique) indices
+    if batch_index is None:
+        expected = ref_log
+    else:
+        kept_seeds = {kw["seed"] + int(i) for i in np.unique(batch_index)}
+        expected = [e for e in ref_log if e[1] in kept_seeds]
+    assert our_log == expected, case

@@ -100,24 +100,20 @@ _BASE = dict(target="backbone", stage_1=True, stage_2=False, stage_3=False,
              hidden_mean=True, final=True)
 
 
-def _run_pair(block, specs, channels, sigma=2.0, skip_specs=None):
-    """Install both sides' patches and drive the `block` patch once."""
+def _run_pair(block, specs, channels, sigma=2.0, skip_channels=None):
+    """Install both sides' patches and drive the `block` patch once.
+    ``skip_channels`` gives hsp a different channel count than h (the
+    channel-transition output-block case)."""
     ms = DiscreteSampling()
     rng = np.random.default_rng(21)
     h = rng.standard_normal((2, channels, 8, 8)).astype(np.float32)
-    hsp = rng.standard_normal((2, channels, 8, 8)).astype(np.float32)
+    hsp = rng.standard_normal(
+        (2, skip_channels or channels, 8, 8)).astype(np.float32)
 
     ref_cfg, our_cfg = _cfg_pair(specs)
-    ref_skip = our_skip = None
-    if skip_specs is not None:
-        ref_skip, our_skip = _cfg_pair(skip_specs)
-
     patcher = _RefModelPatcher(ms)
-    kw = {f"{block}_config": ref_cfg}
-    if ref_skip is not None:
-        kw[f"{block}_config"] = ref_cfg
     (out_model,) = ref_frux.FreeUExtremeNode.go(
-        model=patcher, cpu_fft=False, **kw)
+        model=patcher, cpu_fft=False, **{f"{block}_config": ref_cfg})
     ref_patch = patcher.hooks[block]
     toptions = {"sigmas": torch.tensor([sigma, sigma * 0.9])}
     if block == "output":
@@ -203,6 +199,24 @@ def test_both_target_blend_mode():
     cfg = _BASE | dict(target="both", blend=0.4, blend_mode="inject",
                        hidden_mean=False, with_filter=True)
     got, want = _run_pair("output", [cfg], MC * 4)
+    np.testing.assert_allclose(got[0], want[0], rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(got[1], want[1], rtol=2e-4, atol=2e-5)
+
+
+def test_skip_stage_comes_from_backbone_channels():
+    """At channel-transition output blocks the popped skip tensor has a
+    different channel count than h; the reference derives the stage for
+    BOTH from h's channels (freeu_extreme.py:311-313), so a stage-1
+    skip-target config must apply to an hsp whose own channel count would
+    resolve to stage 2."""
+    skip_cfg = _BASE | dict(target="skip", scale=1.6, hidden_mean=False,
+                            slice=0.5, with_filter=True)
+    got, want = _run_pair("output", [skip_cfg], MC * 4, skip_channels=MC * 2)
+    # the skip tensor must actually have been modified
+    rng = np.random.default_rng(21)
+    rng.standard_normal((2, MC * 4, 8, 8))
+    hsp_orig = rng.standard_normal((2, MC * 2, 8, 8)).astype(np.float32)
+    assert np.abs(want[1] - hsp_orig).max() > 1e-3
     np.testing.assert_allclose(got[0], want[0], rtol=2e-4, atol=2e-5)
     np.testing.assert_allclose(got[1], want[1], rtol=2e-4, atol=2e-5)
 
