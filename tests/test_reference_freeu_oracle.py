@@ -240,3 +240,35 @@ def test_degenerate_chain_configs_filtered():
     dead2 = _BASE | dict(start=1.0, scale=9.0)
     got, want = _run_pair("input", [head, dead1, dead2], MC * 4)
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_randomized_config_fuzz(seed):
+    """Seeded random configuration sweep — chains of 1-3 configs with
+    randomized windows, slices, scales, blends, targets, and stages,
+    driven through the output patch with mismatched h/hsp channels."""
+    rng = np.random.default_rng(100 + seed)
+
+    def rand_spec():
+        return _BASE | dict(
+            target=["backbone", "skip", "both"][rng.integers(3)],
+            stage_1=bool(rng.integers(2)), stage_2=bool(rng.integers(2)),
+            stage_3=True,  # keep at least one stage live
+            start=float(rng.uniform(0.0, 0.6)),
+            end=float(rng.uniform(0.6, 1.0)),
+            slice=float(rng.choice([0.25, 0.5, 0.75, 1.0])),
+            slice_offset=float(rng.choice([0.0, 0.25])),
+            scale=float(rng.uniform(0.6, 1.6)),
+            blend=float(rng.choice([0.3, 0.7, 1.0])),
+            hidden_mean=bool(rng.integers(2)),
+            final=bool(rng.integers(2)),
+            with_filter=bool(rng.integers(2)),
+        )
+
+    specs = [rand_spec() for _ in range(int(rng.integers(1, 4)))]
+    sigma = float(rng.uniform(0.1, 12.0))
+    channels = int(rng.choice([MC, MC * 2, MC * 4]))
+    got, want = _run_pair("output", specs, channels, sigma=sigma,
+                          skip_channels=int(rng.choice([MC, MC * 2, MC * 4])))
+    np.testing.assert_allclose(got[0], want[0], rtol=3e-4, atol=3e-5)
+    np.testing.assert_allclose(got[1], want[1], rtol=3e-4, atol=3e-5)
