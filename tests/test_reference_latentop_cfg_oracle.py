@@ -243,3 +243,34 @@ def test_model_input_mode_rejects_bad_flags():
             ref_lonodes.SonarApplyLatentOperationCFG.go(
                 model=_RefModelPatcher(DiscreteSampling()),
                 operation_1=_plain_op(2.0), **kw)
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_randomized_config_fuzz(seed):
+    """Seeded random sweep over modes, curves, clamps, flags."""
+    rng = np.random.default_rng(400 + seed)
+    modes = ["cond_sub_uncond", "denoised_sub_uncond", "denoised", "cond",
+             "uncond", "uncond_sub_cond"]
+    curves = ["none", "sampling", "reverse_sampling", "enabled_range",
+              "reverse_enabled_range", "sampling_sin", "enabled_range_sin"]
+    mode = modes[rng.integers(len(modes))]
+    kw = _DEFAULTS | dict(
+        mode=mode,
+        pred_flip_mode=bool(rng.integers(2)) and mode.endswith("_sub_uncond"),
+        blend_scale_mode=curves[rng.integers(len(curves))],
+        blend_strength=float(rng.uniform(0.1, 1.0)),
+        blend_scale_offset=float(rng.uniform(-0.3, 0.3)),
+        blend_scale_min=float(rng.uniform(0.0, 0.3)),
+        blend_scale_max=float(rng.uniform(0.5, 1.0)),
+        immediate_blend=bool(rng.integers(2)),
+        start_sigma=float(rng.uniform(3.0, 15.0)),
+        end_sigma=float(rng.uniform(0.0, 1.0)),
+    )
+    case_key = f"fuzz{seed}"
+    CASES[case_key] = kw | dict(
+        sigma=float(rng.uniform(0.1, 14.0)),
+        ops_kind=["plain", "two", "advanced"][rng.integers(3)])
+    try:
+        test_apply_latent_op_cfg_oracle(case_key)
+    finally:
+        del CASES[case_key]
