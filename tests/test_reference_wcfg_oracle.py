@@ -293,3 +293,69 @@ def test_wcfg_node_construction_matches_reference():
             plain = x + 7.5 * (cond_d - uncond_d)
             assert np.abs(want - plain).max() > 1e-3
             assert np.abs(got - plain).max() > 1e-3
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_wcfg_randomized_rule_fuzz(seed):
+    """Seeded random sweep over rule dimensions (wave, level, scale
+    shapes, schedules, modes, targets, blends)."""
+    rng = np.random.default_rng(700 + seed)
+    waves = ["haar", "db2", "db4", "sym4"]
+    scheds = [None, "linear", "half_cosine", "sine", "logarithmic"]
+    smodes = ["sampling", "sigmas", "step"]
+    yh = [
+        float(rng.uniform(1.0, 8.0)),
+        [float(rng.uniform(1.0, 8.0)), "fill"],
+        [[float(rng.uniform(1, 8)) for _ in range(3)], "fill"],
+    ][rng.integers(3)]
+    diff = dict(yl_scale=float(rng.uniform(2.0, 9.0)), yh_scales=yh)
+    sched = scheds[rng.integers(len(scheds))]
+    if sched is not None:
+        diff |= dict(
+            scales_end=dict(yl_scale=float(rng.uniform(1.0, 6.0)),
+                            yh_scales=float(rng.uniform(1.0, 6.0))),
+            schedule=sched, schedule_mode=smodes[rng.integers(len(smodes))],
+            reverse_schedule=bool(rng.integers(2)),
+            schedule_offset=float(rng.uniform(-0.2, 0.2)),
+            schedule_multiplier=float(rng.uniform(0.7, 1.3)))
+    padding_mode = ["periodization", "symmetric"][rng.integers(2)]
+    # REFERENCE BUG (not ours): with a non-size-preserving padding mode
+    # and blend_strength != 1, the reference blends the still-oversized
+    # wavelet result against the input-sized fallback BEFORE cropping
+    # (wavelet_cfg.py:836 runs before process_output's crop at :742) and
+    # crashes on the shape mismatch — with real pytorch_wavelets too.
+    # Keep the fuzz inside the combinations the reference survives.
+    blend_strength = (1.0 if padding_mode != "periodization"
+                      else float(rng.choice([1.0, 0.7])))
+    params = dict(
+        wave=waves[rng.integers(len(waves))],
+        level=int(rng.integers(1, 4)),
+        padding_mode=padding_mode,
+        high_precision_mode=False,
+        target_mode=["denoised", "noise", "noise_norm"][rng.integers(3)],
+        blend_strength=blend_strength,
+        diff=diff)
+    sigma = float(rng.uniform(0.3, 12.0))
+    want = _run_reference(params, sigma, seed=seed)
+    got = _run_ours(params, sigma, seed=seed)
+    scale = max(np.abs(want).max(), 1.0)
+    np.testing.assert_allclose(got, want, atol=5e-5 * scale, rtol=2e-5)
+
+
+def test_symmetric_padding_partial_blend_works_here():
+    """The reference crashes on non-size-preserving padding + partial
+    blend (see the fuzz comment above); we crop the wavelet result to
+    the input size before the fallback blend, so the combination works."""
+    rules = WCFGRules.build(wave="db4", level=2, padding_mode="symmetric",
+                            high_precision_mode=False, blend_strength=0.7,
+                            diff=dict(yl_scale=8.0, yh_scales=3.0))
+    w = WaveletCFG(rules=rules)
+    x, cond_d, uncond_d = _tensors(41)
+    out = np.asarray(w(dict(
+        input=jnp.asarray(x), sigma=jnp.asarray([2.0]),
+        cond=jnp.asarray(x - cond_d), uncond=jnp.asarray(x - uncond_d),
+        cond_denoised=jnp.asarray(cond_d),
+        uncond_denoised=jnp.asarray(uncond_d),
+        cond_scale=7.5, model_sampling=DiscreteSampling(),
+        sample_sigmas=SIGMAS)))
+    assert out.shape == x.shape and np.isfinite(out).all()
