@@ -118,3 +118,65 @@ def test_dpmpp_sde_trajectory_matches_reference(params):
         sonar_params=dict(params), eta=1.0, s_noise=1.0, seed=0,
         noise_sampler=lambda step, s, sn: jnp.asarray(stream)[step]))
     np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-4)
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_randomized_sonar_config_fuzz(seed):
+    """Seeded random sweep over the SonarConfig surface (momentum/history/
+    direction ranges from the node widgets, momentum modes, history init
+    SAMPLE/SAMPLE_NORM, step windows, always_update_history, linear/euler
+    guidance with a reference latent) on the ancestral sampler with an
+    injected noise stream."""
+    rng = np.random.default_rng(7700 + seed)
+    mode = ["CLASSIC", "NEW", "DENOISED"][rng.integers(3)]
+    init = ["ZERO", "SAMPLE", "SAMPLE_NORM"][rng.integers(3)]
+    base = dict(
+        momentum=float(rng.uniform(-0.5, 2.5)),
+        momentum_hist=float(rng.uniform(-1.5, 1.5)),
+        direction=float(rng.choice([1.0, -1.0, 0.5, 2.0, -9.0])),
+        momentum_start_step=int(rng.integers(0, 3)),
+        momentum_end_step=int(rng.choice([3, 9999])),
+        always_update_history=bool(rng.integers(2)),
+    )
+    guide = None
+    if rng.random() < 0.6:
+        g_latent = (np.random.default_rng(seed)
+                    .standard_normal(SHAPE).astype(np.float32))
+        guide = dict(
+            guidance_type=["LINEAR", "EULER"][rng.integers(2)],
+            factor=float(rng.uniform(-0.15, 0.15)),
+            start_step=int(rng.integers(0, 3)),
+            end_step=int(rng.choice([4, 9999])),
+        )
+    eta = float(rng.choice([0.4, 1.0]))
+    s_noise = float(rng.uniform(0.8, 1.1))
+
+    ref_params = dict(base, momentum_mode=ref_sonar.MomentumMode[mode],
+                      init=ref_sonar.HistoryType[init])
+    our_params = dict(base, momentum_mode=mode.lower(), init=init.lower())
+    if guide is not None:
+        ref_params["guidance"] = ref_sonar.GuidanceConfig(
+            guidance_type=ref_sonar.GuidanceType[guide["guidance_type"]],
+            factor=guide["factor"], start_step=guide["start_step"],
+            end_step=guide["end_step"], latent=torch.tensor(g_latent.copy()))
+        our_params["guidance"] = dict(
+            guidance_type=guide["guidance_type"].lower(),
+            factor=guide["factor"], start_step=guide["start_step"],
+            end_step=guide["end_step"], latent=jnp.asarray(g_latent))
+
+    x0 = (np.random.default_rng(100 + seed)
+          .standard_normal(SHAPE).astype(np.float32) * 14.6)
+    sigmas = _sigmas()
+    stream = _stream(STEPS + 2, seed=200 + seed)
+    want = ref_sonar.SonarEulerAncestral.sampler(
+        _model_torch, torch.tensor(x0.copy()), torch.tensor(sigmas),
+        extra_args={"seed": 0}, disable=True, sonar_params=ref_params,
+        eta=eta, s_noise=s_noise,
+        noise_sampler=_torch_stream_sampler(stream)).numpy()
+    got = np.asarray(sample_sonar_euler_ancestral(
+        _model_jax, jnp.asarray(x0), jnp.asarray(sigmas),
+        sonar_params=our_params, eta=eta, s_noise=s_noise, seed=0,
+        noise_sampler=lambda step, s, sn: jnp.asarray(stream)[step]))
+    scale = max(np.abs(want).max(), 1.0)
+    np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-4 * scale,
+                               err_msg=f"sonar fuzz seed {seed}")
