@@ -75,3 +75,62 @@ def test_5d_sampling_end_to_end():
     )(x0)
     assert out.shape == x0.shape
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_every_noise_node_draws_5d():
+    """Sweep: every registered node builder that yields a noise item must
+    draw a finite (B, C, F, H, W) tensor — the frames->channels folding
+    contract (noise/base.py) has to hold for every wrapper, not just the
+    generator families the targeted tests cover."""
+    from sonar_tpu.api import build
+    from sonar_tpu.noise.base import NoiseItem
+    from tests.test_schema_validation import _ALL_NODES, _links_for
+
+    shape = (1, 4, 3, 8, 8)
+    # Reference-parity exceptions — the reference ALSO rejects raw 5D for
+    # these (verified against the live tree): voronoi and scatternet
+    # generators are MAX_DIMS=4 there too (noise_generation.py:1293-1294,
+    # 2037-2038; users wrap with frames_to_channels), the power items
+    # crash on a 4-way shape unpack (powernoise.py:345), and the sweep's
+    # 4D latent link makes GuidedNoise a broadcast error in torch as well
+    # (a 5D guide latent works — asserted below).
+    expected_unsupported = {
+        "SonarAdvancedVoronoiNoise", "SonarGuidedNoise",
+        "SonarPowerFilterNoise", "SonarPowerNoise",
+        "SonarScatternetFilteredNoise",
+    }
+    failures, unexpected_ok, swept = [], [], 0
+    for name in _ALL_NODES:
+        try:
+            obj = build(name, **_links_for(name))
+        except Exception:
+            continue  # non-noise nodes may need richer inputs; other sweeps cover them
+        if not isinstance(obj, NoiseItem):
+            continue
+        swept += 1
+        try:
+            fn, st = make_noise_sampler(obj, shape, seed=0,
+                                        sigma_min=0.03, sigma_max=14.6)
+            out, _ = fn(st, jnp.asarray(1.0), jnp.asarray(0.9))
+            assert out.shape == shape, out.shape
+            assert bool(jnp.isfinite(out).all()), "non-finite"
+            if name in expected_unsupported:
+                unexpected_ok.append(name)
+        except Exception as e:  # noqa: BLE001
+            if name not in expected_unsupported:
+                failures.append((name, f"{type(e).__name__}: {e}"[:160]))
+    assert swept >= 25, f"sweep unexpectedly small: {swept}"
+    assert not failures, "\n".join(f"{n}: {m}" for n, m in failures)
+    # if one of these starts working, drop it from the exception list
+    assert not unexpected_ok, unexpected_ok
+
+    # GuidedNoise DOES support 5D when the guide latent is 5D
+    from sonar_tpu.api import build as _b
+
+    g = _b("SonarGuidedNoise", latent=jnp.zeros(shape),
+           sonar_custom_noise=_b("SonarCustomNoise", factor=1.0,
+                                 noise_type="gaussian"))
+    fn, st = make_noise_sampler(g, shape, seed=1, sigma_min=0.03,
+                                sigma_max=14.6)
+    out, _ = fn(st, jnp.asarray(1.0), jnp.asarray(0.9))
+    assert out.shape == shape and bool(jnp.isfinite(out).all())
