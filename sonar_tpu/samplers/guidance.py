@@ -10,12 +10,15 @@ from .momentum import GuidanceConfig, GuidanceType, SonarConfig
 
 
 def prepare_ref_latent(latent):
-    """Per-(H,W) standardize (py/sonar.py:335-341)."""
+    """Per-(H,W) standardize (py/sonar.py:335-341). Zero-std guard: a
+    constant guide latent (e.g. zeros) divides by 0 in the reference and
+    NaNs the whole trajectory; here it degrades to the mean-subtracted
+    latent (same convention as core.normalize.scale_noise)."""
     if latent is None:
         return None
     avg = jnp.mean(latent, axis=(-2, -1), keepdims=True)
     std = tstd(latent, axis=(-2, -1), keepdims=True)
-    return (latent - avg) / std
+    return (latent - avg) / jnp.where(std == 0, 1.0, std)
 
 
 def guidance_shift(t, ref_latent, *, dim=None):
@@ -41,7 +44,12 @@ def guidance_euler(sigma, sigma_next, x, denoised, ref_latent, factor=0.2, *,
     d = to_d(x, sigma_safe, ref_shift)
     dt = (sigma_next - sigma) * factor
     euler = d * dt + x
-    linear = guidance_linear(x, ref_latent, factor=factor, blend=blend, do_shift=do_shift)
+    del blend  # the reference's EULER path never forwards the configured
+    # blend: its degenerate fallback calls guidance_linear with the default
+    # torch.lerp (py/sonar.py:380-398) — preserved
+    linear = guidance_linear(x, ref_latent, factor=factor,
+                             blend=lambda a, b, t: a + (b - a) * t,
+                             do_shift=do_shift)
     return jnp.where(sigma == sigma_next, linear, euler)
 
 

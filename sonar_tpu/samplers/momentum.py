@@ -101,9 +101,10 @@ class SonarConfig:
         """YAML-override merge (py/sonar.py:104-131)."""
         if not ext:
             return self
-        d = dataclasses.asdict(self)
-        d["guidance"] = self.guidance  # asdict would explode the latent array
-        d["custom_noise"] = self.custom_noise
+        # shallow field copy — asdict() would recursively deep-copy the
+        # guidance latent array and the custom_noise spec tree (and raise
+        # on traced values)
+        d = {f.name: getattr(self, f.name) for f in dataclasses.fields(self)}
         d.update(ext)
         return SonarConfig(**d)
 

@@ -38,18 +38,12 @@ class RestartSegment:
     k: int = 2
 
 
-def karras_sigmas(n: int, sigma_min: float, sigma_max: float,
-                  rho: float = 7.0) -> np.ndarray:
-    ramp = np.linspace(0, 1, n)
-    s = (sigma_max ** (1 / rho) + ramp * (sigma_min ** (1 / rho)
-                                          - sigma_max ** (1 / rho))) ** rho
-    return s.astype(np.float32)
-
-
 def restart_schedule(n: int, t_min: float, t_max: float) -> np.ndarray:
     """The n-step Karras ladder from t_max down to t_min for one restart
     repeat: n+1 strictly-descending sigmas (n model evaluations)."""
-    sched = karras_sigmas(n + 1, max(t_min, 1e-4), t_max)
+    from .schedules import karras_ramp
+
+    sched = karras_ramp(n + 1, max(t_min, 1e-4), t_max)
     if not np.all(np.diff(sched) < 0):
         raise ValueError(
             f"degenerate restart schedule for n={n}, t_min={t_min}, t_max={t_max}"
@@ -90,8 +84,19 @@ def sample_restart(
     inner = inner_sampler if inner_sampler is not None else sample_sonar_euler
     if segments is None:
         segments = default_segments(sigmas)
-    segments = sorted(segments, key=lambda sg: -sg.t_max)
-    key = key_from_seed(seed)
+    # the base-pass walk stops at each segment's t_min crossing in schedule
+    # order, so segments must be ordered by DESCENDING t_min (ordering by
+    # t_max mis-sequences crossed/overlapping windows)
+    segments = sorted(segments, key=lambda sg: -sg.t_min)
+    # a user seed supplied via extra_args would override the derived
+    # per-inner-call seeds in the inner sampler's _setup (making every
+    # restart repeat reuse one identical noise stream) — strip it here and
+    # use it as the base seed instead
+    user_extra = dict(sampler_kwargs.pop("extra_args", None) or {})
+    extra_seed = user_extra.pop("seed", None)
+    if user_extra:
+        sampler_kwargs["extra_args"] = user_extra
+    key = key_from_seed(seed if seed is not None else extra_seed)
 
     pos = sigmas[sigmas > 0]
     sigma_min_all = float(pos.min()) if pos.size else 0.0
@@ -130,8 +135,11 @@ def sample_restart(
     sched = list(np.concatenate([sigmas]))
     start = 0
     for sg in segments:
-        # find index where sigma crosses below t_min
-        idxs = [i for i, s in enumerate(sched) if s <= sg.t_min and i > start]
+        # find index where sigma crosses below t_min; never consume the
+        # final schedule entry (a t_min landing on the trailing 0.0 would
+        # leave a length-1 tail and skip the final denoise step)
+        idxs = [i for i, s in enumerate(sched)
+                if s <= sg.t_min and start < i < len(sched) - 1]
         if not idxs:
             continue
         stop = idxs[0]

@@ -25,11 +25,18 @@ def _finish(sigs) -> jnp.ndarray:
                        jnp.float32)
 
 
-def karras_sigmas(steps: int, sigma_min: float, sigma_max: float,
-                  rho: float = 7.0) -> jnp.ndarray:
+def karras_ramp(steps: int, sigma_min: float, sigma_max: float,
+                rho: float = 7.0) -> np.ndarray:
+    """Raw Karras rho-ramp, no trailing zero (shared with
+    samplers.restart's sub-schedules)."""
     ramp = np.linspace(0.0, 1.0, steps)
     lo, hi = sigma_min ** (1 / rho), sigma_max ** (1 / rho)
-    return _finish((hi + ramp * (lo - hi)) ** rho)
+    return np.asarray((hi + ramp * (lo - hi)) ** rho, np.float32)
+
+
+def karras_sigmas(steps: int, sigma_min: float, sigma_max: float,
+                  rho: float = 7.0) -> jnp.ndarray:
+    return _finish(karras_ramp(steps, sigma_min, sigma_max, rho))
 
 
 def exponential_sigmas(steps: int, sigma_min: float,
@@ -134,25 +141,30 @@ def linear_quadratic_sigmas(steps: int, threshold_noise: float = 0.025,
     return _finish(1.0 - np.asarray(ts))
 
 
+def _or_default(val, default):
+    """Explicit None check — `or` would silently replace a legal 0.0."""
+    return default if val is None else val
+
+
 SCHEDULERS = {
     "normal": lambda ms, n, **kw: normal_sigmas(ms, n),
     "sgm_uniform": lambda ms, n, **kw: normal_sigmas(ms, n, sgm=True),
     "karras": lambda ms, n, **kw: karras_sigmas(
-        n, kw.get("sigma_min") or ms.sigma_min,
-        kw.get("sigma_max") or ms.sigma_max, rho=kw.get("rho", 7.0)),
+        n, _or_default(kw.get("sigma_min"), ms.sigma_min),
+        _or_default(kw.get("sigma_max"), ms.sigma_max), rho=kw.get("rho", 7.0)),
     "exponential": lambda ms, n, **kw: exponential_sigmas(
-        n, kw.get("sigma_min") or ms.sigma_min,
-        kw.get("sigma_max") or ms.sigma_max),
+        n, _or_default(kw.get("sigma_min"), ms.sigma_min),
+        _or_default(kw.get("sigma_max"), ms.sigma_max)),
     "polyexponential": lambda ms, n, **kw: polyexponential_sigmas(
-        n, kw.get("sigma_min") or ms.sigma_min,
-        kw.get("sigma_max") or ms.sigma_max, rho=kw.get("rho", 1.0)),
+        n, _or_default(kw.get("sigma_min"), ms.sigma_min),
+        _or_default(kw.get("sigma_max"), ms.sigma_max), rho=kw.get("rho", 1.0)),
     "simple": lambda ms, n, **kw: simple_sigmas(ms, n),
     "ddim_uniform": lambda ms, n, **kw: ddim_uniform_sigmas(ms, n),
     "beta": lambda ms, n, **kw: beta_sigmas(
         ms, n, alpha=kw.get("alpha", 0.6), beta=kw.get("beta", 0.6)),
     "kl_optimal": lambda ms, n, **kw: kl_optimal_sigmas(
-        n, kw.get("sigma_min") or ms.sigma_min,
-        kw.get("sigma_max") or ms.sigma_max),
+        n, _or_default(kw.get("sigma_min"), ms.sigma_min),
+        _or_default(kw.get("sigma_max"), ms.sigma_max)),
     "linear_quadratic": lambda ms, n, **kw: linear_quadratic_sigmas(
         n, threshold_noise=kw.get("threshold_noise", 0.025),
         linear_steps=kw.get("linear_steps")),

@@ -231,3 +231,59 @@ def test_history_init_modes(x0):
         assert np.isfinite(outs[init]).all()
     assert not np.allclose(outs["zero"], outs["sample"])
     assert not np.allclose(outs["sample"], outs["sample_norm"])
+
+
+def test_guidance_euler_degenerate_fallback_uses_lerp():
+    """The reference's EULER guidance never forwards the configured blend:
+    its sigma==sigma_next fallback calls guidance_linear with the default
+    torch.lerp (py/sonar.py:380-398)."""
+    from sonar_tpu.samplers.guidance import guidance_euler, guidance_linear
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((1, 4, 8, 8)).astype(np.float32))
+    ref = jnp.asarray(rng.standard_normal((1, 4, 8, 8)).astype(np.float32))
+    d = jnp.asarray(rng.standard_normal((1, 4, 8, 8)).astype(np.float32))
+    exotic = lambda a, b, t: b  # a blend that would betray forwarding
+    got = guidance_euler(jnp.asarray(2.0), jnp.asarray(2.0), x, d, ref,
+                         0.3, blend=exotic)
+    want = guidance_linear(x, ref, factor=0.3,
+                           blend=lambda a, b, t: a + (b - a) * t)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6)
+
+
+def test_sonar_config_updated_traceable():
+    """updated() must not deep-copy its fields: a traced guidance latent
+    has to survive (the old dataclasses.asdict path deep-copied every
+    array and raised on tracers)."""
+    import jax
+
+    from sonar_tpu.samplers.momentum import GuidanceConfig, SonarConfig
+
+    def f(latent):
+        cfg = SonarConfig(guidance=GuidanceConfig(latent=latent))
+        cfg2 = cfg.updated({"momentum": 0.5})
+        return cfg2.guidance.latent * cfg2.momentum
+
+    out = jax.jit(f)(jnp.ones((1, 4, 4, 4)))
+    np.testing.assert_allclose(np.asarray(out), 0.5)
+
+
+def test_constant_guide_latent_does_not_nan():
+    """prepare_ref_latent's zero-std guard: a constant (zeros) guide
+    latent NaNs the reference's whole trajectory; here it degrades
+    gracefully (SURVEY 5.3 NaN-safety convention)."""
+    from sonar_tpu.samplers.sonar import sample_sonar_euler
+
+    def model(x, s, **kw):
+        return x / (1.0 + s.reshape((-1, 1, 1, 1)) ** 2)
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((1, 4, 8, 8)).astype(np.float32)) * 14.6
+    sig = jnp.asarray(
+        np.concatenate([np.geomspace(14.6, 0.03, 8), [0.0]]).astype(np.float32))
+    for gt in ("euler", "linear"):
+        g = dict(guidance_type=gt, factor=0.05, start_step=0, end_step=99,
+                 latent=jnp.zeros_like(x))
+        out = sample_sonar_euler(model, x, sig,
+                                 sonar_params={"guidance": g}, seed=1)
+        assert bool(jnp.isfinite(out).all()), gt

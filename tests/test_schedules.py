@@ -7,7 +7,7 @@ import pytest
 
 from sonar_tpu.cfg import DiscreteSampling
 from sonar_tpu.samplers import SCHEDULERS, get_sigmas
-from sonar_tpu.samplers.restart import karras_sigmas as restart_karras
+from sonar_tpu.samplers.schedules import karras_ramp
 
 MS = DiscreteSampling()
 
@@ -22,10 +22,12 @@ def test_schedule_shape_and_monotonicity(name):
     assert sig[-2] >= MS.sigma_min * 0.999
 
 
-def test_karras_matches_restart_implementation():
+def test_karras_shares_the_ramp_core():
+    # restart.py's sub-schedules and the karras scheduler now share one
+    # karras_ramp helper; the scheduler is ramp + trailing 0.0
     ours = np.asarray(get_sigmas("karras", 15, MS))[:-1]
-    theirs = restart_karras(15, MS.sigma_min, MS.sigma_max)
-    np.testing.assert_allclose(ours, theirs, rtol=1e-5)
+    np.testing.assert_allclose(ours, karras_ramp(15, MS.sigma_min,
+                                                 MS.sigma_max), rtol=1e-5)
 
 
 def test_normal_endpoints_hit_table_bounds():
@@ -136,3 +138,14 @@ def test_beta_skips_duplicate_timesteps():
     for steps in (50, 100, 200):
         s = np.asarray(get_sigmas("beta", steps, MS))
         assert np.all(np.diff(s[:-1]) < 0), steps
+
+
+def test_explicit_zero_sigma_min_is_honored():
+    """kw.get(...) or default would silently replace a legal 0.0."""
+    from sonar_tpu.cfg.model_sampling import DiscreteSampling
+    from sonar_tpu.samplers.schedules import get_sigmas
+
+    sig = np.asarray(get_sigmas("karras", 8, DiscreteSampling(),
+                                sigma_min=0.0))
+    # the ramp must end at the requested 0.0, not the model's ~0.029
+    assert sig[-2] == 0.0
