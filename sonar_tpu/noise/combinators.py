@@ -503,15 +503,21 @@ class RandomNoise(MultiChildNoise):
             noise, new_states = jax.lax.switch(chosen[0], branches, state, kgen)
             return scale_noise(noise, self.factor, normalized=normalize), new_states
         # General path: all children evaluated and masked (heterogeneous
-        # child states preclude a structurally-uniform switch).
+        # child states preclude a structurally-uniform switch). Matching the
+        # reference (unchosen samplers are never called): where-select kills
+        # an unchosen child's NaN/Inf instead of letting 0*NaN poison the
+        # sum, and an unchosen child's state does not advance.
         mask = jnp.zeros((n,), ctx.dtype).at[chosen].set(1.0)
         total = jnp.zeros(ctx.shape, ctx.dtype)
         new_states = []
         for i, item in enumerate(self.items):
             ni, st = item.sample(ctx, state[i], jax.random.fold_in(kgen, i), sigma,
                                  sigma_next, normalized=False)
-            new_states.append(st)
-            total = total + ni * mask[i]
+            keep = mask[i] > 0
+            new_states.append(jax.tree.map(
+                lambda a, b, k=keep: a if a is b else jnp.where(k, a, b),
+                st, state[i]))
+            total = total + jnp.where(keep, ni, jnp.zeros((), ctx.dtype))
         return scale_noise(total, self.factor, normalized=normalize), tuple(new_states)
 
 
@@ -919,6 +925,8 @@ class PerDimNoise(WrapperNoise):
         return dim
 
     def child_ctx(self, ctx):
+        import dataclasses
+
         dim = self._dim(ctx)
         if self.shrink_dim:
             if self.offset + self.chunk_size > ctx.shape[dim]:
@@ -926,18 +934,31 @@ class PerDimNoise(WrapperNoise):
             shape = tuple(
                 self.chunk_size if d == dim else s for d, s in enumerate(ctx.shape)
             )
-            return ctx.with_shape(shape)
+            # the reference builds the child sampler on the exemplar slice
+            # x[offset : offset+chunk_size] along dim (py/noise.py:1857-1864)
+            # so ref-consuming children see that window, not the full latent
+            ref = ctx.ref
+            if ref is not None and tuple(jnp.shape(ref)) == tuple(ctx.shape):
+                sl = tuple(
+                    slice(self.offset, self.offset + self.chunk_size)
+                    if d == dim else slice(None)
+                    for d in range(len(ctx.shape))
+                )
+                ref = ref[sl]
+            return dataclasses.replace(ctx, shape=shape, ref=ref)
         return ctx
 
     def sample(self, ctx, state, key, sigma, sigma_next, *, normalized=True):
         normalize = self.get_normalize("normalize", normalized)
         dim = self._dim(ctx)
         dim_size = ctx.shape[dim]
+        state = dict(state)  # never mutate the caller's state pytree
+        cstate = state["noise"]
         if self.shrink_dim:
             chunks = []
             for i in range(dim_size):
-                ni, state["noise"] = getattr(self, "noise").sample(
-                    self.child_ctx(ctx), state["noise"], jax.random.fold_in(key, i),
+                ni, cstate = getattr(self, "noise").sample(
+                    self.child_ctx(ctx), cstate, jax.random.fold_in(key, i),
                     sigma, sigma_next, normalized=self.normalize_noise)
                 chunks.append(ni)
             noise = jnp.concatenate(chunks, axis=dim)
@@ -950,8 +971,8 @@ class PerDimNoise(WrapperNoise):
             n_chunks = math.ceil(dim_size / self.chunk_size)
             pieces = []
             for ci in range(n_chunks):
-                full, state["noise"] = getattr(self, "noise").sample(
-                    ctx, state["noise"], jax.random.fold_in(key, ci), sigma,
+                full, cstate = getattr(self, "noise").sample(
+                    ctx, cstate, jax.random.fold_in(key, ci), sigma,
                     sigma_next, normalized=self.normalize_noise)
                 start = ci * self.chunk_size
                 stop = min(start + self.chunk_size, dim_size)
@@ -961,7 +982,7 @@ class PerDimNoise(WrapperNoise):
                 )
                 pieces.append(full[sl])
             noise = jnp.concatenate(pieces, axis=dim)
-        state = dict(state)
+        state["noise"] = cstate
         return scale_noise(noise, self.factor, normalized=normalize), state
 
 
@@ -1086,12 +1107,21 @@ class CustomNoiseParametersNoise(WrapperNoise):
             key = jax.random.key(self.rng_state_offset)
         elif self.rng_offset_mode == "add":
             key = jax.random.fold_in(key, self.rng_state_offset)
-        return super().init_state(ctx, key)
+        st = super().init_state(ctx, key)
+        if self.rng_offset_mode == "override":
+            # the reference seeds a SEPARATE RNG from rng_state_offset and
+            # advances it per call (py/noise.py:2139-2170) — carry a draw
+            # counter so the override stream advances and stays independent
+            # of the base seed
+            st = {**st, "_rng_i": jnp.zeros((), jnp.int32)}
+        return st
 
     def sample(self, ctx, state, key, sigma, sigma_next, *, normalized=True):
         normalize = self.get_normalize("normalize", normalized)
         if self.rng_offset_mode == "override":
-            key = jax.random.fold_in(jax.random.key(self.rng_state_offset), 1)
+            key = jax.random.fold_in(jax.random.key(self.rng_state_offset),
+                                     state["_rng_i"])
+            state = {**state, "_rng_i": state["_rng_i"] + 1}
         elif self.rng_offset_mode == "add":
             key = jax.random.fold_in(key, self.rng_state_offset)
         cctx = self.child_ctx(ctx)

@@ -160,15 +160,23 @@ class PowerFilter:
 def build_channel_mixer(channel_count: int, common_mode: float | None,
                         channel_correlation) -> np.ndarray | None:
     """Symmetric correlation matrix from lower-tri entries, LDL-factored and
-    row-normalized (powernoise.py:56-87). Host-side numpy/scipy."""
+    row-normalized (powernoise.py:56-87). Host-side numpy/scipy — cached per
+    parameter set, and an identity mixer (e.g. the default common_mode=0.0)
+    returns None so the per-draw matmul is skipped entirely."""
     if common_mode is None:
         return None
-    c = channel_count
     if isinstance(channel_correlation, str):
         channel_correlation = [
             float(v) for v in (s.strip() for s in channel_correlation.split(","))
             if v
         ]
+    return _build_channel_mixer_cached(channel_count, float(common_mode),
+                                       tuple(channel_correlation))
+
+
+@lru_cache(maxsize=64)
+def _build_channel_mixer_cached(c: int, common_mode: float,
+                                channel_correlation: tuple) -> np.ndarray | None:
     corr = np.asarray(channel_correlation, np.float64)
     n_corr = c * (c - 1) // 2
     corr = corr[:n_corr]
@@ -188,6 +196,8 @@ def build_channel_mixer(channel_count: int, common_mode: float | None,
     np.fill_diagonal(mixer, 1.0)
     mixer = mixer * np.sqrt(np.clip(dc, 0.0, None))[None, :]
     mixer = mixer / np.linalg.norm(mixer, axis=1, keepdims=True)
+    if np.allclose(mixer, np.eye(c), atol=1e-12):
+        return None  # numerically identity — skip the per-draw matmul
     return mixer
 
 
@@ -232,7 +242,7 @@ class PowerNoiseItem(NoiseItem):
 
     def init_state(self, ctx, key):
         if self.time_brownian:
-            if ctx.sigma_min is None:
+            if ctx.sigma_min is None or ctx.sigma_max is None:
                 raise ValueError(
                     "time correlated brownian mode is valid only for stochastic samplers"
                 )

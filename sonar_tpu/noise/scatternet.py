@@ -309,8 +309,14 @@ class ScatternetFilteredGenerator(Generator):
         base_idx = int(output_offset * increment)
         base_idx = max(0, min(out_size - initial_size, base_idx))
         out = out[:, :, base_idx : base_idx + initial_size]
-        out = jnp.moveaxis(out.squeeze(2), 0, 1) if self.per_channel_scatternet \
-            else out[0]
+        if self.per_channel_scatternet:
+            # torch's squeeze(dim=2) is a no-op on a non-unit axis (flat
+            # modes keep initial_size there); match that instead of erroring
+            if out.ndim > 2 and out.shape[2] == 1:
+                out = jnp.squeeze(out, 2)
+            out = jnp.moveaxis(out, 0, 1)
+        else:
+            out = out[0]
         if output_mode == "channels":
             out = out[..., :height, :width]
         pad_needed = math.prod(adjusted_shape) - out.size
