@@ -132,6 +132,15 @@ class SonarLatentOperationNoise(SonarLatentOperation):
             pos = tbl[tbl > 0]
             sigma_min = float(pos.min()) if pos.size else 0.0
             sigma_max = float(tbl.max())
+            # derive sigma_next from the step table like the reference
+            # (py/latent_ops.py:148-155): only when sigma matches a table
+            # entry exactly and a next entry exists — otherwise keep
+            # sigma_next = sigma. Traced equivalent of the host lookup.
+            tbl_j = jnp.asarray(tbl, jnp.float32)
+            gstep = jnp.argmin(jnp.abs(tbl_j - s))
+            use = (tbl_j[gstep] == s) & (gstep + 1 < tbl_j.shape[0])
+            nxt = tbl_j[jnp.minimum(gstep + 1, tbl_j.shape[0] - 1)]
+            sigma_next = jnp.where(use, nxt, s)
         if key is None:
             key = jax.random.key(self.seed)
             if s is not None:

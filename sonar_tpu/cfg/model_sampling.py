@@ -52,8 +52,9 @@ class DiscreteSampling:
             return 999999999.9
         if percent >= 1.0:
             return 0.0
-        ts = round((1.0 - percent) * 999)
-        return float(self.sigmas[max(0, min(999, ts))])
+        last = len(self.sigmas) - 1
+        ts = round((1.0 - percent) * last)
+        return float(self.sigmas[max(0, min(last, ts))])
 
 
 @dataclasses.dataclass(frozen=True)

@@ -108,8 +108,17 @@ class WCFGPercentages:
     @classmethod
     def build(cls, *, ms, start_sigma: float, end_sigma: float, sigma,
               sigmas: np.ndarray | None) -> "WCFGPercentages":
+        # trace-safety: lax.switch traces EVERY rule branch, so this must
+        # not raise for rules that never match. Normalize the negative
+        # start_sigma "model max" shorthand (match_index honors it), and
+        # swap a genuinely misordered window — such a rule can never match
+        # (end <= sigma <= start is unsatisfiable), so its branch values
+        # are dead; the reference never even builds them (first-match +
+        # lazy percentages, py/wavelet_cfg.py:796-808).
+        if start_sigma < 0:
+            start_sigma = math.inf
         if start_sigma < end_sigma:
-            raise ValueError("start/end sigmas out of order")
+            start_sigma, end_sigma = end_sigma, start_sigma
         sigma_max, sigma_min = float(ms.sigma_max), float(ms.sigma_min)
         start_sigma = min(sigma_max, start_sigma)
         end_sigma = min(max(sigma_min, end_sigma), sigma_max)
@@ -143,9 +152,14 @@ class WCFGPercentages:
                 )
             steps = len(sigmas) - 1
             if steps > 1:
-                step, _valid = step_from_sigmas_traced(
+                step, valid = step_from_sigmas_traced(
                     sigma_c.astype(jnp.float32),
                     jnp.asarray(sigmas, jnp.float32))
+                # the reference errors when the step cannot be determined
+                # and a steps schedule mode is requested; traced equivalent:
+                # an undetermined step becomes NaN, which surfaces in the
+                # scheduled values instead of silently feeding garbage
+                step = jnp.where(valid, step.astype(jnp.float32), jnp.nan)
                 kw["pct_steps"] = step / (steps - 1)
                 enabled = np.arange(len(sigmas))[
                     (sigmas <= start_sigma) & (sigmas >= end_sigma)
@@ -508,11 +522,13 @@ class WaveletCFG:
 
     @staticmethod
     def _maybe_op(t, mop, **kwargs):
+        # plain (non-extended) LATENT_OPERATION callables take latent only,
+        # like the reference's maybe_op (py/wavelet_cfg.py:663-675)
         if mop is None:
             return t
         if getattr(mop, "EXTENDED_LATENT_OPERATION", False):
             return mop(latent=t, **kwargs)
-        return mop(latent=t, sigma=kwargs.get("sigma"))
+        return mop(latent=t)
 
     def _rule_branch(self, rule: WCFGRule, args: dict, ms, sample_sigmas):
         x = args["input"]

@@ -233,8 +233,11 @@ def dtcwt2d(x, level: int = 3, *, biort: str = "near_sym_a",
         bbb = combos["bb"][1][j]
         z1 = ((baa - bbb) + 1j * (bab + bba)) / np.sqrt(2.0)
         z2 = ((baa + bbb) + 1j * (bab - bba)) / np.sqrt(2.0)
-        # interleave the 3 band types × 2 → 6 orientations
-        yhs.append(jnp.concatenate([z1, z2], axis=2))
+        # pytorch_wavelets orientation order 15,45,75,105,135,165 deg:
+        # (lh,hh,hl) from the first quad pair, then (hl,hh,lh) from the
+        # second — z1/z2 band axis here is (lh,hl,hh)
+        yhs.append(jnp.concatenate(
+            [z1[:, :, (0, 2, 1)], z2[:, :, (1, 2, 0)]], axis=2))
     return yls, yhs
 
 
@@ -311,7 +314,11 @@ def idtcwt2d(yls, yhs, out_hw=None, *, biort: str = "near_sym_a",
         yh_tree = []
         for z in yhs:
             n_or = z.shape[2] // 2
-            z1, z2 = z[:, :, :n_or], z[:, :, n_or:]
+            za, zb = z[:, :, :n_or], z[:, :, n_or:]
+            # undo the (15,45,75 | 105,135,165) orientation order back to
+            # the per-tree (lh,hl,hh) band axis
+            z1 = za[:, :, (0, 2, 1)]
+            z2 = zb[:, :, (2, 0, 1)]
             if key == "aa":
                 bands = (jnp.real(z1) + jnp.real(z2)) / np.sqrt(2.0)
             elif key == "bb":

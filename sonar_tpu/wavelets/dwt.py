@@ -227,10 +227,7 @@ def idwt2d(yl, yh, wave="db4", mode="symmetric", out_hw=None):
         if x.shape[-2:] != (bh, bw):
             x = x[..., :bh, :bw]
         remaining = n_levels - 1 - j
-        if out_hw is not None and mode != "periodization":
-            th = _ideal_len(out_hw[0], n_levels, remaining, L, mode)
-            tw = _ideal_len(out_hw[1], n_levels, remaining, L, mode)
-        elif out_hw is not None:
+        if out_hw is not None:
             th = _ideal_len(out_hw[0], n_levels, remaining, L, mode)
             tw = _ideal_len(out_hw[1], n_levels, remaining, L, mode)
         else:

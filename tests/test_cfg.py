@@ -226,3 +226,82 @@ def test_wcfg_1d_dwt_for_3d_latents(cfg_args):
     with pytest.raises(RuntimeError, match="use_1d_dwt"):
         WaveletCFG(rules=bad)(args)
 
+
+
+def test_wcfg_plain_latent_operation_callable():
+    """ComfyUI-shape LATENT_OPERATIONs are plain callables taking latent
+    only; the reference's maybe_op passes no extra kwargs to them
+    (py/wavelet_cfg.py:663-675)."""
+    rules = WCFGRules.build(wave="haar", level=2,
+                            padding_mode="periodization",
+                            high_precision_mode=False,
+                            diff=dict(yl_scale=6.0, yh_scales=3.0))
+    w = WaveletCFG(rules=rules,
+                   operation_result=lambda latent: latent * 1.1)
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((1, 4, 16, 16)).astype(np.float32)
+    out = w(dict(input=jnp.asarray(x), sigma=jnp.asarray([2.0]),
+                 cond=jnp.asarray(x * 0.1), uncond=jnp.asarray(x * 0.2),
+                 cond_denoised=jnp.asarray(x * 0.9),
+                 uncond_denoised=jnp.asarray(x * 0.8), cond_scale=7.5,
+                 model_sampling=DiscreteSampling(),
+                 sample_sigmas=np.asarray([14.6, 2.0, 0.5, 0.0],
+                                          np.float32)))
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_wcfg_unreachable_misordered_rule_traces():
+    """lax.switch traces every branch: a misordered (never-matching) rule
+    or the start_sigma=-1 shorthand must not raise at trace time."""
+    rules = WCFGRules.build(
+        wave="haar", level=2, padding_mode="periodization",
+        high_precision_mode=False, start_sigma=-1.0,
+        diff=dict(yl_scale=6.0, yh_scales=3.0),
+        rules=[dict(start_sigma=2.0, end_sigma=7.0, wave="haar", level=2,
+                    padding_mode="periodization", high_precision_mode=False,
+                    diff=dict(yl_scale=4.0, yh_scales=2.0))])
+    w = WaveletCFG(rules=rules)
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((1, 4, 16, 16)).astype(np.float32)
+    out = w(dict(input=jnp.asarray(x), sigma=jnp.asarray([3.0]),
+                 cond=jnp.asarray(x * 0.1), uncond=jnp.asarray(x * 0.2),
+                 cond_denoised=jnp.asarray(x * 0.9),
+                 uncond_denoised=jnp.asarray(x * 0.8), cond_scale=7.5,
+                 model_sampling=DiscreteSampling(),
+                 sample_sigmas=np.asarray([14.6, 3.0, 0.5, 0.0],
+                                          np.float32)))
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_latent_op_noise_derives_sigma_next():
+    """With sample_sigmas, the op draws over (sigma, next_sigma) like the
+    reference (py/latent_ops.py:148-182) — a brownian-style child would
+    otherwise see a zero-width bridge every step."""
+    from sonar_tpu.cfg.latent_ops import SonarLatentOperationNoise
+    from sonar_tpu.noise.base import NoiseItem
+
+    seen = {}
+
+    class _Spy(NoiseItem):
+        def sample(self, ctx, state, key, sigma, sigma_next, *,
+                   normalized=True):
+            seen["pair"] = (float(sigma), float(sigma_next))
+            return jnp.zeros(ctx.shape, ctx.dtype), state
+
+    tbl = np.asarray([14.6, 7.0, 2.0, 0.5, 0.0], np.float32)
+    op = SonarLatentOperationNoise(custom_noise=_Spy(), sample_sigmas=tbl)
+    op(jnp.zeros((1, 4, 8, 8)), sigma=jnp.asarray(7.0))
+    assert seen["pair"] == (7.0, 2.0)
+    # off-table sigma keeps sigma_next = sigma
+    op(jnp.zeros((1, 4, 8, 8)), sigma=jnp.asarray(5.0))
+    assert seen["pair"] == (5.0, 5.0)
+
+
+def test_percent_to_sigma_respects_table_length():
+    from sonar_tpu.cfg.model_sampling import DiscreteSampling as DS
+
+    short = DS(sigmas=np.linspace(0.03, 14.6, 500).astype(np.float32))
+    s = short.percent_to_sigma(0.1)  # would IndexError with hardcoded 999
+    assert 0.03 <= s <= 14.6
+    assert short.percent_to_sigma(0.0) > 1e6  # sentinel preserved
+    assert short.percent_to_sigma(1.0) == 0.0

@@ -229,3 +229,32 @@ def test_scatternet_symmetric_filter_banks():
     fn, st = make_noise_sampler(item, (1, 4, 16, 16), seed=0)
     noise, _ = fn(st, None, None)
     assert np.isfinite(np.asarray(noise)).all()
+
+
+def test_orientation_axis_order():
+    """The 6-orientation axis must follow pytorch_wavelets' order
+    (15,45,75,105,135,165 deg): near-horizontal features excite the outer
+    slots (0,5), diagonal the middle pair (1,4), near-vertical the inner
+    pair (2,3), and mirrored angles land in mirrored slots k / 5-k."""
+    H = W = 64
+    yy, xx = np.mgrid[0:H, 0:W].astype(np.float64)
+
+    def band_energies(wavevec_deg):
+        th = np.deg2rad(wavevec_deg)
+        g = np.cos(2 * np.pi * 0.2 * (xx * np.cos(th) + yy * np.sin(th)))
+        _, yhs = dtcwt2d(jnp.asarray(g.astype(np.float32))[None, None],
+                         level=2)
+        return np.asarray(jnp.abs(yhs[1]) ** 2).sum(axis=(0, 1, 3, 4))
+
+    # wave-vector angle -> stripe orientation is +90 deg; the pairs below
+    # cover all six slots
+    for wv_a, wv_b, slots in [(75, 105, (0, 5)),   # near-horizontal stripes
+                              (45, 135, (1, 4)),   # diagonals
+                              (15, 165, (2, 3))]:  # near-vertical stripes
+        ea, eb = band_energies(wv_a), band_energies(wv_b)
+        assert {int(ea.argmax()), int(eb.argmax())} == set(slots), \
+            (wv_a, wv_b, ea, eb)
+        # mirrored angles land in mirrored slots
+        assert int(ea.argmax()) + int(eb.argmax()) == 5
+        # strong selectivity: the winning band dominates
+        assert ea.max() / ea.sum() > 0.5 and eb.max() / eb.sum() > 0.5
