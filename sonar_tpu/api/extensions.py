@@ -22,10 +22,11 @@ from typing import Callable, Iterable, Sequence
 
 
 def register_blend_mode(name: str, fn: Callable) -> None:
-    """Add a blend function ``fn(a, b, t)`` (bleh-style extension surface)."""
-    from ..core.blend import BLENDING_MODES
+    """Add a blend function ``fn(a, b, t)`` (bleh-style extension surface);
+    delegates to the core registry helper."""
+    from ..core.blend import register_blend_mode as _core_register
 
-    BLENDING_MODES[name] = fn
+    _core_register(name, fn)
 
 
 def register_ffilter_preset(name: str, gains: Sequence[float]) -> None:

@@ -155,8 +155,11 @@ def noise_image(
 
 
 def split_noise_chain(chain: NoiseItem, split_index: int = 1):
-    """Split a chain into two rescaled chains (SonarSplitNoiseChain,
-    py/nodes/misc.py:628-664)."""
+    """Cut a chain at ``split_index`` into two rescaled chains — a
+    framework extension (the reference node named SonarSplitNoiseChain,
+    py/nodes/misc.py:628-664, does something different: it wraps the
+    chain as one blended link; that behavior is the
+    ``build("SonarSplitNoiseChain", ...)`` builder)."""
     items = chain.items if isinstance(chain, NoiseChain) else [chain]
     first = NoiseChain([i.clone() for i in items[:split_index]])
     second = NoiseChain([i.clone() for i in items[split_index:]])

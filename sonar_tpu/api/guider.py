@@ -78,6 +78,17 @@ def make_latent_op_cfg_function(
     post_cfg_mode = mode in {"denoised", "denoised_sub_uncond"}
     hook = "post_cfg" if post_cfg_mode else (
         "model_input" if mode == "model_input" else "pre_cfg")
+    if not ops:
+        # the reference returns the model unpatched when no operations are
+        # connected (latent_operations.py:193-195) — a pass-through patch,
+        # not a blend of the target with itself
+        def passthrough(args: dict):
+            if mode == "model_input":
+                return args["input"]
+            return args["denoised"] if post_cfg_mode else args.get(
+                "conds_out", ())
+
+        return passthrough, hook
     blend_function = BLENDING_MODES[blend_mode]
     orig_mode = mode
 
@@ -106,9 +117,8 @@ def make_latent_op_cfg_function(
         if uncond is None:
             if require_uncond or mode_now in {"uncond", "uncond_sub_cond",
                                               "denoised_sub_uncond"}:
-                # statically disabled
-                if mode_now == "model_input":
-                    return x
+                # statically disabled (model_input can't reach here:
+                # require_uncond is rejected for it at build time)
                 return args["denoised"] if post_cfg_mode else conds_out
             if mode_now.endswith("_sub_uncond"):
                 mode_now = mode_now.split("_", 1)[0]

@@ -109,8 +109,18 @@ class SonarPipeline:
         return guided
 
     def __call__(self, x0: jax.Array, sigmas, **kwargs) -> jax.Array:
-        sigmas = jnp.asarray(sigmas, x0.dtype)
-        denoiser = self._denoiser(np.asarray(sigmas))
+        # the schedule stays float32 regardless of latent dtype: a bf16
+        # latent would otherwise degrade the sigmas and break WCFG's
+        # sigma/step-table matching
+        sigmas = jnp.asarray(sigmas, jnp.float32)
+        try:
+            host_sigmas = np.asarray(sigmas)
+        except Exception:
+            # traced sigmas (caller's own jit): WCFG's host-side step
+            # windows are unavailable — sigma/sampling schedule modes
+            # still work; prefer pipe.jit(), which keeps them concrete
+            host_sigmas = None
+        denoiser = self._denoiser(host_sigmas)
         call_kwargs: dict[str, Any] = dict(kwargs)
         if self.sonar_config is not None:
             call_kwargs.setdefault("sonar_config", self.sonar_config)
@@ -141,6 +151,19 @@ class SonarPipeline:
                 os.environ["SONAR_TPU_FUSED_PYRAMID"] = old
 
     def jit(self) -> Callable:
-        """A jitted ``fn(x0) -> samples`` closure for a fixed schedule at
-        call time: ``pipe.jit()(x0, sigmas)`` traces per unique shape."""
-        return jax.jit(lambda x0, sigmas: self(x0, sigmas))
+        """A jitted ``fn(x0, sigmas) -> samples`` runner. The schedule is
+        treated as STATIC (it feeds host-side WCFG step windows), so the
+        runner compiles once per unique (schedule, x0 shape) and reuses
+        the compiled program after."""
+        from functools import lru_cache
+
+        @lru_cache(maxsize=16)
+        def _compiled(sig_key):
+            sig = np.asarray(sig_key, np.float32)
+            return jax.jit(lambda x0: self(x0, sig))
+
+        def run(x0, sigmas):
+            sig_key = tuple(float(s) for s in np.asarray(sigmas).ravel())
+            return _compiled(sig_key)(x0)
+
+        return run

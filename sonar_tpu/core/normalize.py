@@ -72,8 +72,6 @@ def tmode(x: jax.Array, axis: int = -1, keepdims: bool = False) -> jax.Array:
     modes = jax.vmap(_mode_1d)(flat).reshape(lead)
     if keepdims:
         modes = jnp.expand_dims(modes, axis)
-    else:
-        modes = modes if axis in (-1, x.ndim - 1) else jnp.reshape(modes, lead)
     return modes
 
 

@@ -24,7 +24,17 @@ def key_from_seed(seed: int | jax.Array | None) -> jax.Array:
         seed.dtype, jax.dtypes.prng_key
     ):
         return seed
-    return jax.random.key(0 if seed is None else int(seed) & 0xFFFFFFFF)
+    seed = 0 if seed is None else int(seed)
+    # fold the high 32 bits in rather than discarding them: the node
+    # schemas advertise the full 64-bit seed range, and jax.random.key
+    # only consumes a 32-bit value when x64 is disabled
+    key = jax.random.key(seed & 0xFFFFFFFF)
+    hi = (seed >> 32) & 0xFFFFFFFF
+    if hi:
+        key = jax.random.fold_in(key, hi & 0x7FFFFFFF)
+        if hi >> 31:
+            key = jax.random.fold_in(key, 1)
+    return key
 
 
 def derive_key(key: jax.Array, *path: int | str) -> jax.Array:

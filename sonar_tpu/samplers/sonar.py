@@ -118,9 +118,20 @@ def _run_loop(step_fn, x, n_steps: int, mom_state, noise_state, *, callback=None
     uninterrupted run."""
     stop = n_steps if stop_step is None else min(stop_step, n_steps)
     carry = resume_from if resume_from is not None else (x, mom_state, noise_state)
+
+    def _restabilize(new, old):
+        # sampler math runs in f32; cast each leaf back to its carry dtype
+        # so scan's carry-type invariant holds for bf16/f16 latents
+        return jax.tree.map(
+            lambda a, b: a.astype(b.dtype)
+            if hasattr(b, "dtype") and hasattr(a, "dtype") and a.dtype != b.dtype
+            else a,
+            new, old)
+
     if callback is not None or method == "python":
         for i in range(start_step, stop):
-            carry, info = step_fn(carry, jnp.asarray(i))
+            new_carry, info = step_fn(carry, jnp.asarray(i))
+            carry = _restabilize(new_carry, carry)
             if callback is not None:
                 callback({"i": i, **info})
         return (carry[0], carry) if return_state else carry[0]
@@ -128,8 +139,8 @@ def _run_loop(step_fn, x, n_steps: int, mom_state, noise_state, *, callback=None
         raise ValueError("method must be 'scan' or 'python'")
 
     def body(c, i):
-        c, _info = step_fn(c, i)
-        return c, None
+        c2, _info = step_fn(c, i)
+        return _restabilize(c2, c), None
 
     carry, _ = jax.lax.scan(body, carry, jnp.arange(start_step, stop))
     return (carry[0], carry) if return_state else carry[0]

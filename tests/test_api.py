@@ -366,3 +366,63 @@ def test_pipeline_fused_noise_scopes_env():
     # None defers to the ambient environment
     SonarPipeline(model=model, sampler=fake_sampler)(x0, sigmas)
     assert seen["flag"] is None
+
+
+def test_pipeline_jit_runner():
+    """pipe.jit() must actually work: the schedule is static (it feeds
+    host-side WCFG step windows), compiled once per unique schedule."""
+    from sonar_tpu.api import SonarPipeline
+
+    def model(x, s, **kw):
+        return x / (1.0 + s.reshape((-1, 1, 1, 1)) ** 2)
+
+    pipe = SonarPipeline(model=model, sampler="sonar_euler", seed=0)
+    sig = np.concatenate([np.geomspace(14.6, 0.03, 6), [0.0]]).astype(np.float32)
+    x0 = jnp.asarray(np.random.default_rng(0)
+                     .standard_normal((1, 4, 16, 16)).astype(np.float32)) * 14.6
+    run = pipe.jit()
+    out = run(x0, sig)
+    assert out.shape == x0.shape and bool(jnp.isfinite(out).all())
+    out2 = run(x0, sig)  # cached program
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(out2))
+
+
+def test_pipeline_bf16_latent_keeps_f32_schedule():
+    from sonar_tpu.api import SonarPipeline
+
+    seen = {}
+
+    def model(x, s, **kw):
+        seen["sigma_dtype"] = s.dtype
+        return x * 0.5
+
+    pipe = SonarPipeline(model=model, sampler="sonar_euler", seed=0)
+    sig = np.concatenate([np.geomspace(14.6, 0.03, 4), [0.0]]).astype(np.float32)
+    x0 = jnp.zeros((1, 4, 8, 8), jnp.bfloat16)
+    pipe(x0, sig)
+    assert seen["sigma_dtype"] == jnp.float32
+
+
+def test_latent_op_cfg_no_operations_is_noop():
+    """Reference: go() returns the model unpatched when no operations are
+    connected (latent_operations.py:193-195)."""
+    from sonar_tpu.api.guider import make_latent_op_cfg_function
+    from sonar_tpu.cfg import DiscreteSampling
+
+    patch, hook = make_latent_op_cfg_function(
+        operations=(), mode="denoised", blend_mode="inject",
+        blend_strength=0.5, model_sampling=DiscreteSampling())
+    d = jnp.full((1, 4, 8, 8), 2.0)
+    out = patch(dict(input=jnp.zeros((1, 4, 8, 8)), sigma=jnp.asarray([2.0]),
+                     denoised=d, uncond_denoised=None))
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(d))
+
+
+def test_64bit_seeds_give_distinct_streams():
+    from sonar_tpu.core.rng import key_from_seed
+
+    a = jax.random.normal(key_from_seed(5), (8,))
+    b = jax.random.normal(key_from_seed(5 + 2**32), (8,))
+    c = jax.random.normal(key_from_seed(0xFFFFFFFFFFFFFFFF), (8,))
+    assert not np.allclose(np.asarray(a), np.asarray(b))
+    assert not np.allclose(np.asarray(b), np.asarray(c))
