@@ -170,28 +170,34 @@ def pack_momentum_scalars(*, sigma, dt, momentum, hd_ratio, hd_scale, md_scale,
 # ---------------------------------------------------------------------------
 
 
-def _scale_noise_kernel(scal_ref, x_ref, out_ref):
-    """scal: [n_valid, threshold, factor]. Single program: the whole latent
-    is one VMEM block; padded tail elements are masked from the stats."""
-    n = scal_ref[0]
-    threshold = scal_ref[1]
-    factor = scal_ref[2]
-    x = x_ref[:]
-    rows, lane = x.shape
-    # TPU iota must be integer-typed; compare in int32 then mask
-    idx = (
-        jax.lax.broadcasted_iota(jnp.int32, (rows, lane), 0) * lane
-        + jax.lax.broadcasted_iota(jnp.int32, (rows, lane), 1)
-    )
-    valid = idx.astype(jnp.float32) < n
-    xm = jnp.where(valid, x, 0.0)
-    mean = jnp.sum(xm) / n
-    var = jnp.sum(jnp.where(valid, (x - mean) ** 2, 0.0)) / (n - 1.0)
-    std = jnp.sqrt(var)
-    y = jnp.where(jnp.abs(mean) > threshold, x - mean, x)
-    y = jnp.where((jnp.abs(1.0 - std) > threshold) & (std != 0),
-                  y / jnp.where(std == 0, 1.0, std), y)
-    out_ref[:] = y * factor
+def _make_scale_noise_kernel(n: int):
+    """scal: [threshold, factor]. Single program: the whole latent is one
+    VMEM block; padded tail elements are masked from the stats. ``n`` (the
+    valid element count) is shape-derived and static, so the mask compares
+    exact int32 indices — an f32 comparison loses integer exactness above
+    2^24 elements, which IS reachable within the VMEM size bound."""
+    nf = float(n)
+
+    def _scale_noise_kernel(scal_ref, x_ref, out_ref):
+        threshold = scal_ref[0]
+        factor = scal_ref[1]
+        x = x_ref[:]
+        rows, lane = x.shape
+        idx = (
+            jax.lax.broadcasted_iota(jnp.int32, (rows, lane), 0) * lane
+            + jax.lax.broadcasted_iota(jnp.int32, (rows, lane), 1)
+        )
+        valid = idx < n
+        xm = jnp.where(valid, x, 0.0)
+        mean = jnp.sum(xm) / nf
+        var = jnp.sum(jnp.where(valid, (x - mean) ** 2, 0.0)) / (nf - 1.0)
+        std = jnp.sqrt(var)
+        y = jnp.where(jnp.abs(mean) > threshold, x - mean, x)
+        y = jnp.where((jnp.abs(1.0 - std) > threshold) & (std != 0),
+                      y / jnp.where(std == 0, 1.0, std), y)
+        out_ref[:] = y * factor
+
+    return _scale_noise_kernel
 
 
 def fused_scale_noise(noise, factor=1.0, *, threshold_std_devs: float = 2.5,
@@ -206,15 +212,15 @@ def fused_scale_noise(noise, factor=1.0, *, threshold_std_devs: float = 2.5,
     shape = noise.shape
     x2, n = _as_rows(noise)
     scal = jnp.asarray(
-        [float(n), threshold_std_devs / math.sqrt(n), 1.0], jnp.float32
-    ).at[2].set(jnp.asarray(factor, jnp.float32))
+        [threshold_std_devs / math.sqrt(n), 1.0], jnp.float32
+    ).at[1].set(jnp.asarray(factor, jnp.float32))
     if pltpu is not None:
         smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
         vmem_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
     else:  # pragma: no cover
         smem_spec = vmem_spec = pl.BlockSpec()
     out = pl.pallas_call(
-        _scale_noise_kernel,
+        _make_scale_noise_kernel(n),
         out_shape=jax.ShapeDtypeStruct(x2.shape, noise.dtype),
         in_specs=[smem_spec, vmem_spec],
         out_specs=vmem_spec,

@@ -87,13 +87,11 @@ def fused_pyramid_supported(sizes, h: int, w: int, mode: str) -> bool:
 
 def _box_muller_pair(shape):
     """Two independent N(0,1) fields from the hardware PRNG (one
-    Box-Muller radius, cos+sin phases) — see kernels/hwrng.py for the
-    24-bit uniform construction."""
-    b1 = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
-    b2 = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
-    u1 = ((b1 >> 8).astype(jnp.int32).astype(jnp.float32) + 1.0) * (
-        1.0 / (1 << 24))
-    u2 = (b2 >> 8).astype(jnp.int32).astype(jnp.float32) * (1.0 / (1 << 24))
+    Box-Muller radius, cos+sin phases) — built on kernels/hwrng.py's
+    shared 24-bit uniform construction."""
+    from .hwrng import box_muller_uniforms
+
+    u1, u2 = box_muller_uniforms(shape)
     r = jnp.sqrt(-2.0 * jnp.log(u1))
     theta = (2.0 * math.pi) * u2
     return r * jnp.cos(theta), r * jnp.sin(theta)
@@ -147,8 +145,11 @@ def _fused_pyramid_call(seed_or_base, smalls, *, bc, h, w, small_shapes,
     """smalls: tuple of (BC, sh, sw) arrays (unpadded); seed_or_base is an
     int32 (1,) seed when gen_base else the combined full-size base (BC,H,W)."""
     tile = min(_up(h, _SUBLANE), _MAX_TILE_ROWS)
-    while h % tile:
+    while tile > _SUBLANE and h % tile:
         tile -= _SUBLANE
+    if h % tile:
+        raise ValueError(
+            f"kernel requires height % {_SUBLANE} == 0, got {h}")
     grid = (bc, h // tile)
 
     in_specs = []
@@ -345,8 +346,11 @@ def _area_std(sh: int, sw: int, h: int, w: int) -> float:
 def _fused_down_call(seed, base, g_fields, *, bc, h, w, levels, mode, gen,
                      out_dtype=jnp.float32, interpret=False):
     tile = min(_up(h, _SUBLANE), _MAX_TILE_ROWS)
-    while h % tile:
+    while tile > _SUBLANE and h % tile:
         tile -= _SUBLANE
+    if h % tile:
+        raise ValueError(
+            f"kernel requires height % {_SUBLANE} == 0, got {h}")
     grid = (bc, h // tile)
     has_base = base is not None
 

@@ -46,17 +46,23 @@ def use_hw_rng() -> bool:
             and jax.default_backend() == "tpu")
 
 
-def _gauss_kernel(seed_ref, out_ref):
-    pltpu.prng_seed(seed_ref[0], pl.program_id(0))
-    shape = out_ref.shape
-    # two independent 24-bit uniforms per output element
+def box_muller_uniforms(shape):
+    """Two independent 24-bit uniforms per element from the hardware PRNG:
+    u1 in (0, 1] ((bits24 + 1) * 2^-24), u2 in [0, 1). Mosaic can't cast
+    uint32→float32 directly; the 24-bit values fit int32 exactly. This is
+    the shared in-kernel substrate (fused_pyramid builds its Box-Muller
+    pair from the same construction)."""
     b1 = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
     b2 = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
-    # u1 in (0, 1]: (bits24 + 1) * 2^-24 ; u2 in [0, 1). Mosaic can't cast
-    # uint32→float32 directly; the 24-bit values fit int32 exactly.
     u1 = ((b1 >> 8).astype(jnp.int32).astype(jnp.float32) + 1.0) * (
         1.0 / (1 << 24))
     u2 = (b2 >> 8).astype(jnp.int32).astype(jnp.float32) * (1.0 / (1 << 24))
+    return u1, u2
+
+
+def _gauss_kernel(seed_ref, out_ref):
+    pltpu.prng_seed(seed_ref[0], pl.program_id(0))
+    u1, u2 = box_muller_uniforms(out_ref.shape)
     r = jnp.sqrt(-2.0 * jnp.log(u1))
     out_ref[:] = r * jnp.cos((2.0 * math.pi) * u2)
 

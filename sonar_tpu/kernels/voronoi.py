@@ -67,8 +67,10 @@ def voronoi_kernel_supported(h: int, w: int, k: int, dist: str,
                              bc: int, n: int) -> bool:
     # the feature-point tables are whole-array SMEM (Mosaic only allows
     # blocked SMEM in 8x128 tiles, so per-bc blocks are out) — gate on a
-    # conservative SMEM footprint
-    return (pltpu is not None and dist in _DISTS and 0 < k <= 8
+    # conservative SMEM footprint. k <= n: with fewer points than the
+    # sorted prefix the kernel's inf-initialized slots would leak +inf
+    # into the output where the XLA path's clamped indexing stays finite.
+    return (pltpu is not None and dist in _DISTS and 0 < k <= 8 and k <= n
             and h % _SUBLANE == 0 and w >= _SUBLANE
             and 3 * bc * n * 4 <= _SMEM_BUDGET)
 
@@ -138,8 +140,11 @@ def _make_kernel(n_points: int, h: int, w: int, tile: int, k: int,
 def _voronoi_call(gy, gx, fy, fx, dz, *, bc, n, h, w, k, dist, p, wy, wx,
                   interpret=False):
     tile = min(-(-h // _SUBLANE) * _SUBLANE, _MAX_TILE_ROWS)
-    while h % tile:
+    while tile > _SUBLANE and h % tile:
         tile -= _SUBLANE
+    if h % tile:
+        raise ValueError(
+            f"kernel requires height % {_SUBLANE} == 0, got {h}")
     grid = (bc, h // tile)
     # whole-array SMEM for the point tables (blocked SMEM must tile
     # 8x128, which (1, n) rows do not) — the kernel indexes row

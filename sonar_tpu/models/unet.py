@@ -258,7 +258,11 @@ def unet_apply(
         _silu(_dense(params["time_mlp"]["fc1"], _sigma_embedding(sigma, cfg.model_channels, dt))),
     )
     h = jnp.transpose(x, (0, 2, 3, 1)).astype(dt)  # NCHW → NHWC
+    # ComfyUI applies input_block_patch after EVERY input_blocks entry —
+    # including input_blocks[0] (conv_in) and each Downsample — and pushes
+    # the PATCHED tensor onto the skip stack
     h = _conv(params["conv_in"], h)
+    h = _maybe_patch(block_patches, "input", h, ctx=ctx)
     skips = [h]
     for level, entry in enumerate(params["down"]):
         for blk in entry["blocks"]:
@@ -269,6 +273,7 @@ def unet_apply(
             skips.append(h)
         if "downsample" in entry:
             h = _conv(entry["downsample"], h, stride=2)
+            h = _maybe_patch(block_patches, "input", h, ctx=ctx)
             skips.append(h)
     h = _resblock(params["mid"]["res1"], h, emb, g)
     h = _attention(params["mid"]["attn"], h, cfg.num_heads, g)
@@ -300,7 +305,10 @@ def make_denoiser(
     ``model(x, sigma_batch) -> denoised`` with EDM-style input scaling
     (c_in = 1/sqrt(1+sigma^2), denoised = x - sigma * eps_hat)."""
 
-    def model(x, sigma, **_kw):
+    def model(x, sigma, params=params, **_kw):
+        # accept params as a call-time argument (extra_args={"params": p})
+        # so jit treats the tree as an input instead of baking multi-GB
+        # constants — the SDXL remote-compile landmine (CLAUDE.md)
         sb = jnp.broadcast_to(jnp.asarray(sigma, x.dtype).reshape(-1), (x.shape[0],))
         c_in = (1.0 / jnp.sqrt(1.0 + sb**2)).reshape(-1, 1, 1, 1)
         eps = unet_apply(params, x * c_in, sb, cfg, block_patches=block_patches)

@@ -305,3 +305,41 @@ def test_percent_to_sigma_respects_table_length():
     assert 0.03 <= s <= 14.6
     assert short.percent_to_sigma(0.0) > 1e6  # sentinel preserved
     assert short.percent_to_sigma(1.0) == 0.0
+
+
+def test_unet_input_patch_covers_conv_in_and_downsample():
+    """ComfyUI applies input_block_patch after EVERY input_blocks entry
+    (conv_in and Downsample included), pushing the patched tensor onto
+    the skip stack — count the patch invocations."""
+    from sonar_tpu.models.unet import UNetConfig, init_unet_params, unet_apply
+
+    cfg = UNetConfig(model_channels=8, channel_mult=(1, 2), num_res_blocks=1)
+    params = init_unet_params(jax.random.key(0), cfg)
+    calls = {"n": 0}
+
+    def patch(h, ctx):
+        calls["n"] += 1
+        return h
+
+    x = jnp.zeros((1, 4, 16, 16))
+    unet_apply(params, x, jnp.asarray([2.0]), cfg,
+               block_patches={"input": [patch]})
+    # 1 conv_in + num_res_blocks per level (2 levels) + 1 downsample
+    assert calls["n"] == 1 + 2 * 1 + 1, calls["n"]
+
+
+def test_make_denoiser_accepts_params_argument():
+    """extra_args={'params': p} must actually reach the UNet — closing
+    over stale params silently ignores it (the SDXL jit-constant
+    landmine)."""
+    from sonar_tpu.models.unet import UNetConfig, init_unet_params, make_denoiser
+
+    cfg = UNetConfig(model_channels=8, channel_mult=(1, 2), num_res_blocks=1)
+    p1 = init_unet_params(jax.random.key(0), cfg)
+    p2 = init_unet_params(jax.random.key(1), cfg)
+    model = make_denoiser(p1, cfg)
+    x = jnp.asarray(np.random.default_rng(0)
+                    .standard_normal((1, 4, 16, 16)).astype(np.float32))
+    out_default = model(x, jnp.asarray([2.0]))
+    out_p2 = model(x, jnp.asarray([2.0]), params=p2)
+    assert not np.allclose(np.asarray(out_default), np.asarray(out_p2))

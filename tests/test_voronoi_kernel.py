@@ -165,3 +165,20 @@ def test_itermin_matches_topk():
     dup = jnp.asarray([[3.0, 1.0, 1.0, 2.0]])
     np.testing.assert_array_equal(np.asarray(V._ksmallest_iter(dup, 3)),
                                   [[1.0, 1.0, 2.0]])
+
+
+def test_kernel_gate_requires_k_le_n():
+    from sonar_tpu.kernels.voronoi import voronoi_kernel_supported
+
+    assert not voronoi_kernel_supported(64, 64, 4, "euclidean", 4, 2)
+    # and the clean tile error replaces the ZeroDivisionError crash
+    import pytest as _pytest
+
+    from sonar_tpu.kernels.voronoi import _voronoi_call
+
+    with _pytest.raises(ValueError, match="height"):
+        _voronoi_call(jnp.zeros((12, 1)), jnp.zeros((1, 64)),
+                      jnp.zeros((1, 4)), jnp.zeros((1, 4)),
+                      jnp.zeros((1, 4)), bc=1, n=4, h=12, w=64, k=2,
+                      dist="euclidean", p=3.0, wy=1.0, wx=1.0,
+                      interpret=True)
