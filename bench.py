@@ -667,6 +667,22 @@ def _ratio(a, b):
     return None if a is None or b is None or not b else a / b
 
 
+def _backend_label() -> str:
+    """Backend init BLOCKS indefinitely when the tunnel is down (observed
+    2026-08-17: a wedged tunnel turned the final JSON emit into a 30-minute
+    hang and an rc-124 bench with zero output — axon's connect-retry loop
+    even swallows signal-raised exceptions). Never initialize a backend
+    from the emit path: report one only if it already exists."""
+    try:
+        from jax._src import xla_bridge as _xb
+
+        if getattr(_xb, "_backends", None):
+            return jax.default_backend()  # already initialized: instant
+        return "uninitialized"
+    except BaseException:  # noqa: BLE001
+        return "unknown"
+
+
 def _emit(r, timings):
     """The ONE JSON line, from whatever landed (None for missing)."""
     import sys
@@ -717,7 +733,7 @@ def _emit(r, timings):
                 _rnd(r.get("fused_highres_ab"), 4),
             "noise_pyramid_hw_rng_mpix_per_sec": _rnd(r.get("noise_hw")),
             "hw_rng_pyramid_speedup_ratio": _rnd(r.get("hw_ab"), 4),
-            "backend": jax.default_backend(),
+            "backend": _backend_label(),
             "metric_seconds": {k: round(v, 1) for k, v in timings.items()},
         },
     }))

@@ -118,3 +118,25 @@ def test_proxy_pair_registered():
     data = json.loads("".join(out).strip())
     assert data["extra"]["config3_overhead_proxy_pct"] == 10.0
     assert data["extra"]["config3_overhead_pct"] is None
+
+
+def test_emit_survives_dead_tunnel():
+    """A wedged tunnel must not cost the artifact: with an unroutable
+    pool address and a tiny budget, bench.py still prints its JSON line
+    and exits 0 (2026-08-17: backend init blocked the final emit for 30
+    minutes and the driver captured nothing)."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    r = subprocess.run(
+        [sys.executable, f"{_REPO}/bench.py"], capture_output=True,
+        text=True, timeout=110,
+        env={**os.environ, "SONAR_BENCH_BUDGET_S": "5",
+             "PALLAS_AXON_POOL_IPS": "10.255.255.1"})
+    assert r.returncode == 0, r.stderr[-500:]
+    lines = [l for l in r.stdout.splitlines() if l.startswith("{")]
+    assert lines, r.stdout[-500:]
+    payload = json.loads(lines[-1])
+    assert payload["extra"]["backend"] in ("uninitialized", "unknown")
