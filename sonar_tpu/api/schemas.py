@@ -3530,7 +3530,7 @@ SCHEMAS = {
    "t": "f"
   },
   "yaml_parameters": {
-   "d": "# YAML or JSON here.\n# I recommend reading the documentation at https://github.com/blepping/ComfyUI-sonar/docs/waveletcfg.md\n# For wavelet information, see: https://pytorch-wavelets.readthedocs.io/en/latest/index.html\n\n# You may override the fields from the node like start_sigma here.\n\n# This section is basically the CFG scale. (All scales sections use the same format.)\ndifference:\n    # Scale for the low frequency components.\n    yl_scale: 5.0\n\n    # Scale (or scales) for high frequency components.\n    # This can be scalar or a list or list of lists.\n    # List example:\n    #  yh_scales:\n    #      - [1, 2, 3]\n    #      - fill\n    #      - 5\n    # You can separately apply a scale to items equal to the wavelet level. Levels go from fine to coarse.\n    # If the item is a list, the three items correspond to horizontal, vertical, diagonal for DWT. (DTCWT has 6.)\n    # You can have one \"fill\" item, this will replicate the item before it however many times is necessary to\n    # match the wavelet level.\n    yh_scales: 3.0\n\n    # You can optionally include a scales_end block with yl_scale/yh_scales.\n    # to interpolate from the toplevel scales (can also be in a scales_start blockx if you prefer).\n\n    # scales_end:\n    #     yl_scale: 1.0\n    #     yh_scales: 1.0\n\n    # The following scheduling parameters only apply if scales_end exists.\n\n    # One of linear, logarithmic, exponential, half_cosine, sine\n    # Sine mode will hit the peak scales_after values in the middle of the range.\n    schedule: linear\n\n    # One of: sampling, enabled_sampling, sigmas, enabled_sigmas, step, enabled_steps\n    schedule_mode: sampling\n\n    # When enabled, flips the schedule percentage. This happens before the schedule is applied\n    # or any offset/multiplier stuff. If you want to flip the final result you can do something like\n    # schedule_offset_after: -1.0 and schedule_multiplier_after: -1.0\n    reverse_schedule: False\n\n    # Added to the percentage before the schedule function is applied.\n    schedule_offset: 0.0\n\n    # Applied to the percentage before the schedule function (but after the offset).\n    schedule_multiplier: 1.0\n\n    # Added to the percentage after the schedule function is applied.\n    schedule_offset_after: 0.0\n\n    # Applied to the percentage after the schedule function (but after the offset).\n    schedule_multiplier_after: 1.0\n\n    # Min/max for the final calculated percent. Must be between 0 and 1.\n    schedule_min: 0.0\n    schedule_max: 1.0\n\n    # If you're a crazy person, you can use non-standard blend modes for interpolating\n    # the scales. Not recommended.\n    blend_mode: lerp\n\n\n# Wavelet type\nwave: db4\n\n# Wavelet level\nlevel: 5\n\n### Start of advanced options\n\n# Mode used for padding\npadding_mode: symmetric\n\n# Mutually exclusive with DTCWT mode.\nuse_1d_dwt: False\n\n# Enables DTCWT mode.\nuse_dtcwt: False\n\n# Configuration for DTCWT, only relevant when enabled.\nbiort: near_sym_a\nqshift: qshift_a\n\n# It's also possible to set these wavelet options with an \"inv_\"\n# prefix: mode, biort, qshift, wave, padding_mode\n\n# One of: noise_norm, noise, denoised\n# Normal CFG uses denoised mode. noise_norm divides by the current sigma, noise just uses the raw noise prediction.\ntarget_mode: denoised\n\n# Can be used to scale cond before the difference is calculated.\ncond:\n    yl_scale: 1.0\n    yh_scales: 1.0\n\n# Can be used to scale uncond before the difference is calculated.\nuncond:\n    yl_scale: 1.0\n    yh_scales: 1.0\n\n# Can be used to scale the final result after blending.\nfinal:\n    yl_scale: 1.0\n    yh_scales: 1.0\n\n# Uses float64 for the wavelets/scaling/blending operations.\n# It doesn't seem to hurt performance much, but you can disable it if you want.\nhigh_precision_mode: True\n\n# Inject is just addition which is usually what you want. The normal CFG function is:\n# uncond + (cond - uncond) * cfg_scale\ndifference_blend_mode: inject\ndifference_blend_strength: 1.0\n\n# Per-rule value, can be enabled to spam your console with information when\n# rules activate, dump exactly what high/low scales are used, etc.\nverbose: False\n\n# You may include a rules block which is a list of these configuration definitions.\n# Include start_sigma/end_sigma parameters. The first matching definition will be used.\n# rules:\n#     - start_sigma: -1.0\n",
+   "d": "# YAML or JSON here.\n# I recommend reading the documentation at https://github.com/blepping/ComfyUI-sonar/docs/waveletcfg.md\n# For wavelet information, see: https://pytorch-wavelets.readthedocs.io/en/latest/index.html\n\n# You may override the fields from the node like start_sigma here.\n\n# This section is basically the CFG scale. (All scales sections use the same format.)\ndifference:\n    # Scale for the low frequency components.\n    yl_scale: 5.0\n\n    # Scale (or scales) for high frequency components.\n    # This can be scalar or a list or list of lists.\n    # List example:\n    #  yh_scales:\n    #      - [1, 2, 3]\n    #      - fill\n    #      - 5\n    # You can separately apply a scale to items equal to the wavelet level. Levels go from fine to coarse.\n    # If the item is a list, the three items correspond to horizontal, vertical, diagonal for DWT. (DTCWT has 6.)\n    # You can have one \"fill\" item, this will replicate the item before it however many times is necessary to\n    # match the wavelet level.\n    yh_scales: 3.0\n\n    # You can optionally include a scales_end block with yl_scale/yh_scales.\n    # to interpolate from the toplevel scales (can also be in a scales_start blockx if you prefer).\n\n    # scales_end:\n    #     yl_scale: 1.0\n    #     yh_scales: 1.0\n\n    # The following scheduling parameters only apply if scales_end exists.\n\n    # One of linear, logarithmic, exponential, half_cosine, sine\n    # Sine mode will hit the peak scales_after values in the middle of the range.\n    schedule: linear\n\n    # One of: sampling, enabled_sampling, sigmas, enabled_sigmas, step, enabled_steps\n    schedule_mode: sampling\n\n    # When enabled, flips the schedule percentage. This happens before the schedule is applied\n    # or any offset/multiplier stuff. If you want to flip the final result you can do something like\n    # schedule_offset_after: -1.0 and schedule_multiplier_after: -1.0\n    reverse_schedule: false\n\n    # Added to the percentage before the schedule function is applied.\n    schedule_offset: 0.0\n\n    # Applied to the percentage before the schedule function (but after the offset).\n    schedule_multiplier: 1.0\n\n    # Added to the percentage after the schedule function is applied.\n    schedule_offset_after: 0.0\n\n    # Applied to the percentage after the schedule function (but after the offset).\n    schedule_multiplier_after: 1.0\n\n    # Min/max for the final calculated percent. Must be between 0 and 1.\n    schedule_min: 0.0\n    schedule_max: 1.0\n\n    # If you're a crazy person, you can use non-standard blend modes for interpolating\n    # the scales. Not recommended.\n    blend_mode: lerp\n\n\n# Wavelet type\nwave: db4\n\n# Wavelet level\nlevel: 5\n\n### Start of advanced options\n\n# Mode used for padding\npadding_mode: symmetric\n\n# Mutually exclusive with DTCWT mode.\nuse_1d_dwt: false\n\n# Enables DTCWT mode.\nuse_dtcwt: false\n\n# Configuration for DTCWT, only relevant when enabled.\nbiort: near_sym_a\nqshift: qshift_a\n\n# It's also possible to set these wavelet options with an \"inv_\"\n# prefix: mode, biort, qshift, wave, padding_mode\n\n# One of: noise_norm, noise, denoised\n# Normal CFG uses denoised mode. noise_norm divides by the current sigma, noise just uses the raw noise prediction.\ntarget_mode: denoised\n\n# Can be used to scale cond before the difference is calculated.\ncond:\n    yl_scale: 1.0\n    yh_scales: 1.0\n\n# Can be used to scale uncond before the difference is calculated.\nuncond:\n    yl_scale: 1.0\n    yh_scales: 1.0\n\n# Can be used to scale the final result after blending.\nfinal:\n    yl_scale: 1.0\n    yh_scales: 1.0\n\n# Uses float64 for the wavelets/scaling/blending operations.\n# It doesn't seem to hurt performance much, but you can disable it if you want.\nhigh_precision_mode: true\n\n# Inject is just addition which is usually what you want. The normal CFG function is:\n# uncond + (cond - uncond) * cfg_scale\ndifference_blend_mode: inject\ndifference_blend_strength: 1.0\n\n# Per-rule value, can be enabled to spam your console with information when\n# rules activate, dump exactly what high/low scales are used, etc.\nverbose: false\n\n# You may include a rules block which is a list of these configuration definitions.\n# Include start_sigma/end_sigma parameters. The first matching definition will be used.\n# rules:\n#     - start_sigma: -1.0\n",
    "r": 1,
    "t": "s"
   }

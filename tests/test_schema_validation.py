@@ -160,3 +160,28 @@ def test_validate_false_escape_hatch():
     chain = build("SonarCustomNoise", _validate=False, factor=1.0,
                   noise_type="gaussian")
     assert len(chain.items) == 1
+
+
+def test_string_defaults_byte_exact_vs_ref_json():
+    """Regression for the gen_schemas.py blind `.replace(": true", ...)`:
+    it corrupted YAML booleans INSIDE string-typed defaults (five lines of
+    the WaveletCFG yaml_parameters template). Every string default in the
+    generated table must match tools/ref_schemas.json byte-for-byte."""
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "..", "tools",
+                        "ref_schemas.json")
+    ref = json.load(open(path))
+    checked = 0
+    for node, spec in ref.items():
+        for section in ("required", "optional"):
+            for fname, entry in spec.get(section, {}).items():
+                if entry.get("type") != "STRING" or "default" not in entry:
+                    continue
+                got = SCHEMAS[node][fname].get("d")
+                assert got == entry["default"], (
+                    f"{node}.{fname} string default diverges from the "
+                    f"reference schema")
+                checked += 1
+    assert checked >= 10  # the sweep actually covered string defaults

@@ -92,6 +92,35 @@ def convert_field(name: str, entry: dict, required: bool) -> dict:
     return out
 
 
+def py_literal(obj, indent: int = 0) -> str:
+    """Emit ``obj`` as a Python literal in json.dumps(indent=1) layout.
+
+    A blind ``.replace(": true", ": True")`` on a JSON dump corrupts
+    string *values* that happen to contain YAML booleans (the WaveletCFG
+    yaml_parameters template has five such lines), so booleans/None are
+    converted structurally here and strings are emitted via json.dumps
+    (JSON string escapes are valid Python string literals)."""
+    pad, pad_in = " " * indent, " " * (indent + 1)
+    if obj is True:
+        return "True"
+    if obj is False:
+        return "False"
+    if obj is None:
+        return "None"
+    if isinstance(obj, dict):
+        if not obj:
+            return "{}"
+        items = (f"{pad_in}{json.dumps(str(k))}: {py_literal(v, indent + 1)}"
+                 for k, v in sorted(obj.items()))
+        return "{\n" + ",\n".join(items) + "\n" + pad + "}"
+    if isinstance(obj, list):
+        if not obj:
+            return "[]"
+        items = (f"{pad_in}{py_literal(v, indent + 1)}" for v in obj)
+        return "[\n" + ",\n".join(items) + "\n" + pad + "]"
+    return json.dumps(obj)
+
+
 def main() -> None:
     src = json.load(open(os.path.join(HERE, "ref_schemas.json")))
     schemas: dict[str, dict] = {}
@@ -122,10 +151,7 @@ def main() -> None:
             "    r   - 1 if the reference declares the field required\n",
             '"""\n\n',
             "SCHEMAS = ",
-            json.dumps(schemas, indent=1, sort_keys=True)
-            .replace(": true", ": True")
-            .replace(": false", ": False")
-            .replace(": null", ": None"),
+            py_literal(schemas),
             "\n",
         ]))
     print(f"wrote {OUT}: {len(schemas)} nodes, "
