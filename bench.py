@@ -659,6 +659,34 @@ def _run_one(name: str, timeout: float):
             return None, False
 
 
+def subprocess_float(cmd, env=None, timeout=1800, label=None):
+    """Run ``cmd``, parse its last stdout line as a float; None on any
+    failure (nonzero rc, timeout, unparseable output) with a diagnostic
+    on stderr. Shared by the tools/ table scripts: a single hung child
+    (tunnel outage) or bad parse must cost one row, not the whole table."""
+    import subprocess
+    import sys
+
+    label = label or " ".join(map(str, cmd[-2:]))
+    try:
+        r = subprocess.run(cmd, capture_output=True, text=True,
+                           timeout=timeout, env=env)
+    except subprocess.TimeoutExpired:
+        print(f"# {label}: TIMEOUT after {timeout}s", file=sys.stderr,
+              flush=True)
+        return None
+    if r.returncode != 0:
+        print(f"# {label}: FAILED rc={r.returncode}: {r.stderr[-300:]}",
+              file=sys.stderr, flush=True)
+        return None
+    try:
+        return float(r.stdout.strip().splitlines()[-1])
+    except (IndexError, ValueError):
+        print(f"# {label}: unparseable stdout {r.stdout[-200:]!r}",
+              file=sys.stderr, flush=True)
+        return None
+
+
 def _rnd(v, nd=3):
     return None if v is None else round(v, nd)
 

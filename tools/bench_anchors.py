@@ -4,8 +4,10 @@ The reference generates noise on CPU by default (py/sonar.py:163), so the
 honest ≥10× BASELINE criterion needs a torch-CPU anchor *per type*, not
 just pyramid. Where possible the anchor is the LIVE reference generator
 itself (tests/_reference_loader.py — zero copying, maximal fidelity):
-pyramid, pyramid_old, highres_pyramid, voronoi (default 32 points and the
-bench's 256-point configuration), collatz. The reference's wavelet /
+pyramid, pyramid_old, highres_pyramid, voronoi (rows: ``voronoi32`` = the
+reference default 32 points / 1 octave; ``voronoi`` = 256 points / 1
+octave; ``voronoi256`` = the bench's 256-point / 2-octave configuration —
+each row uses the SAME config on both sides), collatz. The reference's wavelet /
 scatternet types require pytorch_wavelets (not installed), so their
 anchors are minimal faithful torch reimplementations of the dominant cost
 (a 3-level 2D Haar DWT round trip; a DWT-mode scattering layer — a lower
@@ -22,7 +24,6 @@ from __future__ import annotations
 import json
 import os
 import pathlib
-import subprocess
 import sys
 import time
 
@@ -35,7 +36,7 @@ NPIX = SHAPE[0] * SHAPE[1] * SHAPE[2] * SHAPE[3]
 
 REF_TYPES = ["pyramid", "pyramid_old", "highres_pyramid", "voronoi",
              "collatz", "perlin", "onef_pinkish", "studentt", "distro"]
-ALL_TYPES = REF_TYPES + ["voronoi256", "wavelet", "scatternet"]
+ALL_TYPES = REF_TYPES + ["voronoi32", "voronoi256", "wavelet", "scatternet"]
 
 
 def _ref_sampler(name):
@@ -50,12 +51,13 @@ def _ref_sampler(name):
     x = torch.zeros(SHAPE)
     if name.startswith("voronoi"):
         # plain voronoi is not in the reference's NoiseType registry (only
-        # voronoi_mix/_fuzz are); instantiate the generator directly, with
-        # the bench configuration (256 points)
+        # voronoi_mix/_fuzz are); instantiate the generator directly with
+        # the row's configuration (see module docstring)
         gen_mod = sys.modules["sonar_reference.py.noise_generation"]
+        n_points = (32,) if name == "voronoi32" else (256,)
         gen = gen_mod.VoronoiNoiseGenerator(
             x, sigma_min=0.03, sigma_max=14.6, normalized=True,
-            n_points=(256,), octaves=2 if name == "voronoi256" else 1)
+            n_points=n_points, octaves=2 if name == "voronoi256" else 1)
         return lambda: gen(torch.tensor(1.0), torch.tensor(0.9))
     if name == "distro":
         # distro is a parameterized node, not a NoiseType registry entry —
@@ -169,6 +171,10 @@ def measure_tpu(name: str) -> float:
 
         bst.ITEMS["voronoi256"] = lambda: VoronoiGenerator(
             n_points=(256,), octaves=2)
+    if name == "voronoi32":
+        from sonar_tpu.noise.voronoi import VoronoiGenerator
+
+        bst.ITEMS["voronoi32"] = lambda: VoronoiGenerator(n_points=(32,))
     if name in ("pyramid", "highres_pyramid", "perlin", "onef_pinkish",
                 "studentt"):
         from sonar_tpu.noise.presets import get_noise_item
@@ -190,29 +196,21 @@ def main():
         print(measure_tpu(sys.argv[2]))
         return
 
+    from bench import subprocess_float
+
     env = dict(os.environ)
     env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/sonar_jax_cache")
     out = {}
     for name in ALL_TYPES:
         row = {}
         if mode in ("anchors", "table"):
-            r = subprocess.run(
+            row["anchor"] = subprocess_float(
                 [sys.executable, __file__, "anchor-single", name],
-                capture_output=True, text=True, timeout=1800, env=env)
-            row["anchor"] = (float(r.stdout.strip().splitlines()[-1])
-                             if r.returncode == 0 else None)
-            if r.returncode != 0:
-                print(f"# {name} anchor FAILED: {r.stderr[-300:]}",
-                      file=sys.stderr)
+                env=env, label=f"{name} anchor")
         if mode in ("tpu", "table"):
-            r = subprocess.run(
+            row["tpu"] = subprocess_float(
                 [sys.executable, __file__, "tpu-single", name],
-                capture_output=True, text=True, timeout=1800, env=env)
-            row["tpu"] = (float(r.stdout.strip().splitlines()[-1])
-                          if r.returncode == 0 else None)
-            if r.returncode != 0:
-                print(f"# {name} tpu FAILED: {r.stderr[-300:]}",
-                      file=sys.stderr)
+                env=env, label=f"{name} tpu")
         if row.get("anchor") and row.get("tpu"):
             row["ratio"] = round(row["tpu"] / row["anchor"], 1)
         out[name] = row

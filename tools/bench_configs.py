@@ -166,13 +166,29 @@ _SINGLE = {
 }
 
 
-def _run_isolated(name: str) -> float:
+def _run_isolated(name: str) -> float | None:
+    """One metric per subprocess. Failures/timeouts return None instead of
+    raising: each config costs ~800s of uncacheable compile, so one dead
+    config (or a wedged tunnel) must not discard the completed rows."""
     env = dict(os.environ)
     env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/sonar_jax_cache")
-    out = subprocess.run(
-        [sys.executable, __file__, "--single", name],
-        capture_output=True, text=True, timeout=2400, check=True, env=env)
-    return float(out.stdout.strip().splitlines()[-1])
+    try:
+        out = subprocess.run(
+            [sys.executable, __file__, "--single", name],
+            capture_output=True, text=True, timeout=2400, env=env)
+    except subprocess.TimeoutExpired:
+        print(f"# {name}: TIMEOUT after 2400s", file=sys.stderr, flush=True)
+        return None
+    if out.returncode != 0:
+        print(f"# {name}: FAILED rc={out.returncode}\n{out.stderr[-2000:]}",
+              file=sys.stderr, flush=True)
+        return None
+    try:
+        return float(out.stdout.strip().splitlines()[-1])
+    except (IndexError, ValueError):
+        print(f"# {name}: unparseable stdout {out.stdout[-200:]!r}",
+              file=sys.stderr, flush=True)
+        return None
 
 
 def main():
@@ -183,19 +199,28 @@ def main():
     for name in ("euler", "config2", "config4", "config5_power",
                  "config5_voronoi"):
         t0 = time.time()
-        results[name] = _run_isolated(name)
-        print(f"# {name}: {results[name]:.3f}  ({time.time() - t0:.0f}s)",
-              file=sys.stderr, flush=True)
+        value = _run_isolated(name)
+        if value is not None:
+            results[name] = value
+            print(f"# {name}: {value:.3f}  ({time.time() - t0:.0f}s)",
+                  file=sys.stderr, flush=True)
+
+    def rnd(key, nd=3):
+        v = results.get(key)
+        return None if v is None else round(v, nd)
+
+    def pct(key):
+        v, e = results.get(key), results.get("euler")
+        return None if v is None or not e else round((v - e) / e * 100, 2)
+
     print(json.dumps({
-        "sdxl_euler_per_call_ms": round(results["euler"], 3),
-        "config2_per_call_ms": round(results["config2"], 3),
-        "config2_overhead_pct": round(
-            (results["config2"] - results["euler"]) / results["euler"] * 100, 2),
-        "config4_per_call_ms": round(results["config4"], 3),
-        "config4_overhead_pct": round(
-            (results["config4"] - results["euler"]) / results["euler"] * 100, 2),
-        "config5_power_mpix_per_sec": round(results["config5_power"], 3),
-        "config5_voronoi_mpix_per_sec": round(results["config5_voronoi"], 3),
+        "sdxl_euler_per_call_ms": rnd("euler"),
+        "config2_per_call_ms": rnd("config2"),
+        "config2_overhead_pct": pct("config2"),
+        "config4_per_call_ms": rnd("config4"),
+        "config4_overhead_pct": pct("config4"),
+        "config5_power_mpix_per_sec": rnd("config5_power"),
+        "config5_voronoi_mpix_per_sec": rnd("config5_voronoi"),
         "steps": _SDXL_STEPS,
     }))
 

@@ -78,33 +78,62 @@ def main():
     print(f"end-to-end sampling speedup: {t_x / t_f:.3f}x")
 
 
-def main_sdxl(nt="pyramid_old"):
-    """SDXL-scale variant: 664M-param UNet at 4x128x128, euler-ancestral
-    with CFG, per model call — the production-scale e2e number."""
+def _sdxl_single(flag: str, nt: str) -> None:
+    """Child mode: ONE SDXL-scale program per process. Two large compiled
+    programs in one process degrade later TPU executions ~200x through
+    the tunnel (CLAUDE.md, bisected both orderings) — the parent spawns
+    one subprocess per variant instead."""
     from bench import _sdxl_setup, _time_pipeline
     from sonar_tpu.api import SonarPipeline
     from sonar_tpu.noise.presets import get_noise_item
     from sonar_tpu.samplers import SonarConfig
 
-    def run(flag):
-        os.environ["SONAR_TPU_FUSED_PYRAMID"] = flag
-        cond, uncond, ms, sigmas, x0, params = _sdxl_setup()
-        pipe = SonarPipeline(model=cond, model_uncond=uncond,
-                             sampler="sonar_euler_ancestral",
-                             sonar_config=SonarConfig(momentum=0.95),
-                             noise=get_noise_item(nt), cfg_scale=7.0,
-                             model_sampling=ms, seed=7)
-        return _time_pipeline(pipe, params, x0, sigmas, stages=1)
+    os.environ["SONAR_TPU_FUSED_PYRAMID"] = flag
+    cond, uncond, ms, sigmas, x0, params = _sdxl_setup()
+    pipe = SonarPipeline(model=cond, model_uncond=uncond,
+                         sampler="sonar_euler_ancestral",
+                         sonar_config=SonarConfig(momentum=0.95),
+                         noise=get_noise_item(nt), cfg_scale=7.0,
+                         model_sampling=ms, seed=7)
+    print(_time_pipeline(pipe, params, x0, sigmas, stages=1))
 
-    t_x = run("0")
-    t_f = run("1")
-    os.environ["SONAR_TPU_FUSED_PYRAMID"] = "0"
-    print(f"SDXL e2e, noise={nt}: xla {t_x:.3f} ms/call, "
-          f"fused {t_f:.3f} ms/call, speedup {t_x / t_f:.3f}x")
+
+def main_sdxl(nt="pyramid_old"):
+    """SDXL-scale variant: 664M-param UNet at 4x128x128, euler-ancestral
+    with CFG, per model call — the production-scale e2e number. Each
+    variant runs in its own subprocess (process-contamination rule)."""
+    import subprocess
+
+    times = {}
+    for flag in ("0", "1"):
+        try:
+            proc = subprocess.run(
+                [sys.executable, __file__, "--sdxl-single", flag, nt],
+                capture_output=True, text=True, timeout=2400)
+        except subprocess.TimeoutExpired:
+            print(f"flag={flag}: TIMEOUT (tunnel down or compile > 40min)")
+            continue
+        if proc.returncode != 0:
+            print(f"flag={flag}: FAILED\n{proc.stderr[-2000:]}")
+            continue
+        try:
+            times[flag] = float(proc.stdout.strip().splitlines()[-1])
+        except (IndexError, ValueError):
+            print(f"flag={flag}: unparseable output {proc.stdout[-200:]!r}")
+    t_x, t_f = times.get("0"), times.get("1")
+    if t_x is not None:
+        print(f"SDXL e2e, noise={nt}: xla {t_x:.3f} ms/call")
+    if t_f is not None:
+        print(f"SDXL e2e, noise={nt}: fused {t_f:.3f} ms/call")
+    if t_x is not None and t_f is not None:
+        print(f"speedup {t_x / t_f:.3f}x")
 
 
 if __name__ == "__main__":
-    if "--sdxl" in sys.argv:
+    if "--sdxl-single" in sys.argv:
+        i = sys.argv.index("--sdxl-single")
+        _sdxl_single(sys.argv[i + 1], sys.argv[i + 2])
+    elif "--sdxl" in sys.argv:
         sys.argv.remove("--sdxl")
         main_sdxl(sys.argv[1] if len(sys.argv) > 1 else "pyramid_old")
     else:

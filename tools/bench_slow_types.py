@@ -6,7 +6,6 @@ via --all; prints Mpix/s per type."""
 import json
 import os
 import pathlib
-import subprocess
 import sys
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
@@ -72,15 +71,15 @@ def main():
     if len(sys.argv) >= 3 and sys.argv[1] == "--single":
         print(measure(sys.argv[2]))
         return
+    from bench import subprocess_float
+
     env = dict(os.environ)
     env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/sonar_jax_cache")
     out = {}
     for name in ITEMS:
-        r = subprocess.run([sys.executable, __file__, "--single", name],
-                           capture_output=True, text=True, timeout=1800,
-                           env=env)
-        out[name] = (round(float(r.stdout.strip().splitlines()[-1]), 1)
-                     if r.returncode == 0 else f"FAILED: {r.stderr[-200:]}")
+        v = subprocess_float([sys.executable, __file__, "--single", name],
+                             env=env, label=name)
+        out[name] = round(v, 1) if v is not None else None
         print(f"# {name}: {out[name]}", file=sys.stderr, flush=True)
     print(json.dumps({f"{k}_mpix_per_sec": v for k, v in out.items()}))
 

@@ -111,8 +111,10 @@ def build(params):
     h0 = h0 * (np.sqrt(2.0) / s)
     gp, gnull, A, b, B = g0_family(h0)
     t = params[kh:]
-    nt = gnull.shape[1]
-    g0 = gp + (gnull @ t[:nt] if nt else 0.0)
+    # use at most as many null dims as allocated parameters (a >2-dim
+    # null space would otherwise shape-mismatch inside the optimizer)
+    nt = min(gnull.shape[1], len(t))
+    g0 = gp + (gnull[:, :nt] @ t[:nt] if nt else 0.0)
     res = np.abs(A @ np.linalg.lstsq(B, g0, rcond=None)[0] - b).max()
     if res > 1e-8:
         return None, None

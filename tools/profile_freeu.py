@@ -20,7 +20,6 @@ Usage: python tools/profile_freeu.py            # all three + split
 import json
 import os
 import pathlib
-import subprocess
 import sys
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
@@ -74,20 +73,18 @@ def main():
     if len(sys.argv) >= 3 and sys.argv[1] == "--single":
         print(run_variant(sys.argv[2]))
         return
+    from bench import subprocess_float
+
     env = dict(os.environ)
     env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/sonar_jax_cache")
     out = {}
     for name in ("A", "B", "C"):
-        r = subprocess.run([sys.executable, __file__, "--single", name],
-                           capture_output=True, text=True, timeout=1800,
-                           env=env)
-        if r.returncode != 0:
-            print(f"# {name} FAILED: {r.stderr[-300:]}", file=sys.stderr)
-            out[name] = None
-            continue
-        out[name] = float(r.stdout.strip().splitlines()[-1])
-        print(f"# {name}: {out[name]:.3f} ms/call", file=sys.stderr,
-              flush=True)
+        out[name] = subprocess_float(
+            [sys.executable, __file__, "--single", name], env=env,
+            label=name)
+        if out[name] is not None:
+            print(f"# {name}: {out[name]:.3f} ms/call", file=sys.stderr,
+                  flush=True)
     if all(out.get(k) for k in "ABC"):
         a, b, c = out["A"], out["B"], out["C"]
         out["machinery_pct"] = round((b - a) / a * 100.0, 2)

@@ -7,7 +7,10 @@ spectra and moments over many draws for each pyramid variant.
 """
 
 import os
+import pathlib
 import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
 import jax
 import jax.numpy as jnp
