@@ -465,6 +465,69 @@ def bench_sdxl_config3_per_call_ms() -> float:
     return _config3_per_call_ms(_sdxl_setup())
 
 
+def _sdxl_batched_setup(cfg=None, shape=_SDXL_SHAPE):
+    """Batched-CFG variant of _sdxl_setup: ONE unet_apply on the doubled
+    batch (rows [:B] cond, [B:] uncond — the uncond input scale baked into
+    the second half). The sampling program then contains a single UNet
+    instance instead of two: at SDXL scale the remote compile is the
+    dominant bench cost (~795s, uncacheable) and scales with program size,
+    and the MXU sees a 2B batch. Returns (batched, ms, sigmas, x0, params).
+    """
+    import jax
+
+    from sonar_tpu.cfg import DiscreteSampling
+    from sonar_tpu.models import UNetConfig, init_unet_params, unet_apply
+
+    if cfg is None:
+        cfg = UNetConfig(model_channels=320, channel_mult=(1, 2, 4, 4),
+                         num_res_blocks=2, attention_levels=(2, 3),
+                         num_heads=8, norm_groups=32)
+    params = init_unet_params(jax.random.key(0), cfg)
+
+    def batched_model(x2, sb2, params=None, **kw):
+        n = x2.shape[0]
+        sb = jnp.broadcast_to(jnp.asarray(sb2, x2.dtype).reshape(-1), (n,))
+        s = sb.reshape(-1, 1, 1, 1)
+        c_in = 1.0 / jnp.sqrt(1.0 + s**2)
+        half = jnp.arange(n).reshape(-1, 1, 1, 1) >= (n // 2)
+        scale = jnp.where(half, 0.97, 1.0).astype(x2.dtype)
+        return x2 - s * unet_apply(params, x2 * c_in * scale, sb, cfg)
+
+    ramp = jnp.linspace(0, 1, _SDXL_STEPS)
+    sigmas = (14.6 ** (1 / 7.0) + ramp * (0.03 ** (1 / 7.0)
+                                          - 14.6 ** (1 / 7.0))) ** 7.0
+    sigmas = jnp.concatenate([sigmas, jnp.zeros((1,))]).astype(jnp.float32)
+    x0 = jax.random.normal(jax.random.key(2), shape, jnp.float32) * 14.6
+    return batched_model, DiscreteSampling(), sigmas, x0, params
+
+
+def _euler_batched_per_call_ms(setup) -> float:
+    """Euler + basic CFG through the model_batched path (one UNet instance
+    in the program). Numerically equivalent to _euler_per_call_ms
+    (tests/test_api.py::test_pipeline_model_batched_equals_pair)."""
+    from sonar_tpu.api import SonarPipeline
+    from sonar_tpu.samplers import SonarConfig
+
+    batched, ms, sigmas, x0, params = setup
+    pipe = SonarPipeline(model_batched=batched, sampler="sonar_euler",
+                         sonar_config=SonarConfig(momentum=1.0),
+                         cfg_scale=7.0, model_sampling=ms, seed=7)
+    return _time_pipeline(pipe, params, x0, sigmas, stages=1)
+
+
+def bench_sdxl_euler_batched_per_call_ms() -> float:
+    return _euler_batched_per_call_ms(_sdxl_batched_setup())
+
+
+def bench_proxy_euler_batched_per_call_ms() -> float:
+    from sonar_tpu.models import UNetConfig
+
+    cfg = UNetConfig(model_channels=192, channel_mult=(1, 2, 4),
+                     num_res_blocks=1, attention_levels=(1, 2), num_heads=8,
+                     norm_groups=32)
+    return _euler_batched_per_call_ms(_sdxl_batched_setup(cfg, (1, 4, 64, 64)))
+
+
 def _proxy_setup():
     """Shrunk-SDXL proxy for the config-3 overhead pair: the full SDXL pair
     costs ~795s of UNCACHEABLE remote compile per metric (the tunnel relay
@@ -500,6 +563,8 @@ _SINGLE = {
     "sdxl_config3": bench_sdxl_config3_per_call_ms,
     "proxy_euler": bench_proxy_euler_per_call_ms,
     "proxy_config3": bench_proxy_config3_per_call_ms,
+    "sdxl_euler_batched": bench_sdxl_euler_batched_per_call_ms,
+    "proxy_euler_batched": bench_proxy_euler_batched_per_call_ms,
 }
 
 # per-metric timeout ceilings, clamped to the remaining budget at launch.
@@ -508,7 +573,9 @@ _SINGLE = {
 # cache — measured ~795s per SDXL metric EVERY run (BENCH validation,
 # 2026-08-17); first pallas remote-compiles also take minutes.
 _TIMEOUTS = {"sdxl_euler": 1200, "sdxl_config3": 1200,
-             "proxy_euler": 560, "proxy_config3": 560, "noise_fused": 900,
+             "sdxl_euler_batched": 1200,
+             "proxy_euler": 560, "proxy_config3": 560,
+             "proxy_euler_batched": 560, "noise_fused": 900,
              "noise_bulk_fused": 900, "fused_ab": 900,
              "fused_old_ab": 900, "fused_highres_ab": 900, "hw_ab": 900}
 
@@ -609,7 +676,8 @@ _SINGLE["voronoi_anchor"] = bench_voronoi_torch_anchor
 # pyramid Mpix/s, torch anchor, config3 overhead), then extras
 _CORE = ["sampler", "noise", "anchor", "proxy_euler", "proxy_config3",
          "sdxl_euler", "sdxl_config3"]
-_EXTRAS = ["voronoi", "voronoi_anchor", "sampler_b8", "power", "noise_bulk",
+_EXTRAS = ["proxy_euler_batched", "sdxl_euler_batched",
+           "voronoi", "voronoi_anchor", "sampler_b8", "power", "noise_bulk",
            "fused_old_ab", "fused_highres_ab", "fused_ab", "noise_fused",
            "noise_bulk_fused", "hw_ab", "noise_hw"]
 
@@ -617,7 +685,9 @@ _EXTRAS = ["voronoi", "voronoi_anchor", "sampler_b8", "power", "noise_bulk",
 # (the SDXL metrics measured 795-900s wall each, dominated by the
 # uncacheable remote compile)
 _MIN_LAUNCH = {"sdxl_euler": 700, "sdxl_config3": 700,
-               "proxy_euler": 300, "proxy_config3": 300}
+               "sdxl_euler_batched": 500,
+               "proxy_euler": 300, "proxy_config3": 300,
+               "proxy_euler_batched": 200}
 
 
 def _run_one(name: str, timeout: float):
@@ -744,6 +814,12 @@ def _emit(r, timings):
             "proxy_euler_per_call_ms": _rnd(peul),
             "proxy_config3_per_call_ms": _rnd(pc3),
             "config3_overhead_proxy_pct": _rnd(p_overhead, 2),
+            # batched-CFG path (model_batched: ONE UNet instance in the
+            # program instead of two) — compare per-call ms against the
+            # pair metrics, and compile cost via metric_seconds
+            "sdxl_euler_batched_per_call_ms": _rnd(r.get("sdxl_euler_batched")),
+            "proxy_euler_batched_per_call_ms":
+                _rnd(r.get("proxy_euler_batched")),
             "noise_voronoi_mpix_per_sec": _rnd(vor),
             "voronoi_torch_cpu_anchor_mpix_per_sec": _rnd(vor_anchor),
             "voronoi_vs_anchor": _rnd(_ratio(vor, vor_anchor), 2),

@@ -29,6 +29,7 @@ class SonarPipeline:
         *,
         model: Callable | None = None,
         model_uncond: Callable | None = None,
+        model_batched: Callable | None = None,
         sampler: str | Callable = "sonar_euler_ancestral",
         sonar_config: SonarConfig | None = None,
         noise: NoiseItem | None = None,
@@ -45,6 +46,18 @@ class SonarPipeline:
         ``model_uncond`` enables CFG (basic or wavelet). Without it the
         pipeline samples unguided, exactly the reference's KSampler path.
 
+        ``model_batched(x2, sigma2, **kw) -> denoised2`` is the TPU-native
+        alternative to the (model, model_uncond) pair: ONE denoiser call on
+        the doubled batch — rows ``[:B]`` conditional, rows ``[B:]``
+        unconditional (the caller bakes the two conditionings in, exactly
+        how ComfyUI batches cond+uncond into one UNet forward). The
+        sampling program then contains a single UNet instance instead of
+        two, which roughly halves XLA compile time at SDXL scale (the
+        tunnel's remote compiles are uncacheable — CLAUDE.md) and feeds
+        the MXU a 2B batch. All CFG machinery (wavelet CFG, latent-op
+        hooks, cfg_scale) is unchanged. Mutually exclusive with
+        ``model_uncond``; ``model`` may be omitted when given.
+
         ``fused_noise=True`` enables the fused-pyramid Pallas kernels
         (kernels/fused_pyramid.py) for this pipeline's noise draws —
         measured 2.70x end-to-end on 20-step sampling with pyramid_old
@@ -54,8 +67,13 @@ class SonarPipeline:
         path — samples are equally valid but not bit-identical to the
         default (or to CPU). ``None`` defers to the
         ``SONAR_TPU_FUSED_PYRAMID`` env var; ``False`` forces it off."""
+        if model_batched is not None and model_uncond is not None:
+            raise ValueError(
+                "model_batched and model_uncond are mutually exclusive: "
+                "the batched callable already produces both halves")
         self.model = model
         self.model_uncond = model_uncond
+        self.model_batched = model_batched
         self.sampler = get_sampler(sampler) if isinstance(sampler, str) else sampler
         self.sonar_config = sonar_config
         self.noise = noise
@@ -71,9 +89,10 @@ class SonarPipeline:
     # -- guided denoiser assembly (replaces ComfyUI's CFGGuider) ---------------
     def _denoiser(self, sample_sigmas) -> Callable:
         model = self.model
-        if model is None:
+        batched = self.model_batched
+        if model is None and batched is None:
             raise ValueError("SonarPipeline requires a model callable")
-        if self.model_uncond is None:
+        if self.model_uncond is None and batched is None:
             return model
 
         uncond = self.model_uncond
@@ -85,8 +104,17 @@ class SonarPipeline:
             if lo_hook == "model_input":
                 x = lo_patch(dict(input=x, sigma=sigma_batch,
                                   model_sampling=ms))
-            cond_d = model(x, sigma_batch, **kw)
-            uncond_d = uncond(x, sigma_batch, **kw)
+            if batched is not None:
+                # one denoiser call on the doubled batch: [cond | uncond].
+                # A scalar sigma broadcasts over both halves unchanged.
+                b = x.shape[0]
+                sig = jnp.asarray(sigma_batch)
+                s2 = sig if sig.ndim == 0 else jnp.concatenate([sig, sig], 0)
+                d2 = batched(jnp.concatenate([x, x], axis=0), s2, **kw)
+                cond_d, uncond_d = d2[:b], d2[b:]
+            else:
+                cond_d = model(x, sigma_batch, **kw)
+                uncond_d = uncond(x, sigma_batch, **kw)
             if lo_hook == "pre_cfg":
                 conds = lo_patch(dict(input=x, sigma=sigma_batch,
                                       conds_out=[cond_d, uncond_d],

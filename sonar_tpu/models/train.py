@@ -22,24 +22,43 @@ import optax
 from .unet import UNetConfig, unet_apply
 
 
+def _remat_apply(remat: bool | str):
+    """Resolve the ``remat`` knob to a (possibly checkpointed) unet_apply."""
+    if remat is False:
+        return unet_apply
+    if remat is True or remat == "full":
+        # policy=None: save nothing between the boundaries — recompute the
+        # whole forward during the backward pass
+        return jax.checkpoint(unet_apply, static_argnums=(3,))
+    if remat == "dots":
+        return jax.checkpoint(
+            unet_apply, static_argnums=(3,),
+            policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
+    raise ValueError(
+        f"unknown remat policy {remat!r}; valid: False, True, 'full', 'dots'")
+
+
 def make_train_step(
     cfg: UNetConfig,
     optimizer: optax.GradientTransformation | None = None,
     *,
     sigma_min: float = 0.03,
     sigma_max: float = 14.6,
-    remat: bool = False,
+    remat: bool | str = False,
 ) -> Callable:
     """Returns ``train_step(params, opt_state, batch, key) ->
     (params, opt_state, loss)``; ``batch`` is clean latents (B,C,H,W).
 
-    ``remat=True`` rematerializes the UNet forward in the backward pass
-    (jax.checkpoint) — trades ~30% more FLOPs for activation memory, the
-    standard lever for fitting larger batches in HBM."""
+    ``remat`` rematerializes the UNet forward in the backward pass
+    (jax.checkpoint) — the standard TPU lever for trading FLOPs against
+    activation HBM. ``True``/``"full"`` saves nothing (max memory saving,
+    ~30% more FLOPs); ``"dots"`` saves matmul/conv outputs and recomputes
+    only the cheap elementwise/norm chains between them (most of the
+    memory win at a fraction of the recompute); ``False`` disables.
+    Gradients are bit-identical either way — remat changes scheduling,
+    not math (tests/test_train.py)."""
     optimizer = optimizer or optax.adam(1e-4)
-    apply = (
-        jax.checkpoint(unet_apply, static_argnums=(3,)) if remat else unet_apply
-    )
+    apply = _remat_apply(remat)
 
     def loss_fn(params, batch, key):
         ksig, keps = jax.random.split(key)

@@ -426,3 +426,59 @@ def test_64bit_seeds_give_distinct_streams():
     c = jax.random.normal(key_from_seed(0xFFFFFFFFFFFFFFFF), (8,))
     assert not np.allclose(np.asarray(a), np.asarray(b))
     assert not np.allclose(np.asarray(b), np.asarray(c))
+
+
+def test_pipeline_model_batched_equals_pair():
+    """model_batched (one doubled-batch denoiser call per step — the
+    TPU-native CFG batching that halves program size) must reproduce the
+    (model, model_uncond) pair path exactly, including under wavelet CFG
+    and a post-CFG latent op."""
+    from sonar_tpu.api import SonarPipeline, make_latent_op_cfg_function
+    from sonar_tpu.cfg import DiscreteSampling, WaveletCFG, WCFGRules
+    from sonar_tpu.samplers import SonarConfig
+
+    def cond_model(x, sb, **kw):
+        s = jnp.asarray(sb, x.dtype).reshape(-1, 1, 1, 1)
+        return x / (1.0 + s)
+
+    def uncond_model(x, sb, **kw):
+        s = jnp.asarray(sb, x.dtype).reshape(-1, 1, 1, 1)
+        return (x * 0.97) / (1.0 + s)
+
+    def batched_model(x2, sb2, **kw):
+        b = x2.shape[0] // 2
+        sig = jnp.asarray(sb2)
+        s_c = sig if sig.ndim == 0 else sig[:b]
+        s_u = sig if sig.ndim == 0 else sig[b:]
+        return jnp.concatenate(
+            [cond_model(x2[:b], s_c), uncond_model(x2[b:], s_u)], axis=0)
+
+    ms = DiscreteSampling()
+    rules = WCFGRules.build(wave="haar", level=2, high_precision_mode=False,
+                            diff=dict(yl_scale=5.0, yh_scales=4.0))
+    lo_cfg = make_latent_op_cfg_function(
+        operations=(lambda latent=None, **kw: latent * 1.03,),
+        mode="denoised", blend_strength=0.5, model_sampling=ms)
+    common = dict(sampler="sonar_euler_ancestral",
+                  sonar_config=SonarConfig(momentum=0.9),
+                  noise=get_noise_item("pyramid"), cfg_scale=5.0,
+                  wavelet_cfg=WaveletCFG(rules=rules), latent_op_cfg=lo_cfg,
+                  model_sampling=ms, seed=3)
+    pipe_pair = SonarPipeline(model=cond_model, model_uncond=uncond_model,
+                              **common)
+    pipe_batched = SonarPipeline(model_batched=batched_model, **common)
+    x0 = jnp.asarray(np.random.default_rng(7).standard_normal((2, 4, 16, 16)),
+                     jnp.float32) * 14.6
+    sigmas = jnp.asarray([14.6, 5.0, 1.0, 0.0], jnp.float32)
+    out_pair = jax.jit(lambda v: pipe_pair(v, sigmas))(x0)
+    out_batched = jax.jit(lambda v: pipe_batched(v, sigmas))(x0)
+    np.testing.assert_allclose(np.asarray(out_batched), np.asarray(out_pair),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_pipeline_model_batched_excludes_uncond():
+    from sonar_tpu.api import SonarPipeline
+
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        SonarPipeline(model=lambda x, s: x, model_uncond=lambda x, s: x,
+                      model_batched=lambda x, s: x)

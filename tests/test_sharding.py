@@ -179,3 +179,44 @@ def test_scale_noise_global_stats_under_sharding(mesh8):
         out = jax.jit(lambda v: scale_noise(v, normalized=True))(x)
     assert abs(float(jnp.mean(out))) < 1e-3
     assert abs(float(tstd(out)) - 1.0) < 1e-3
+
+
+def test_batched_cfg_under_dp_matches_pair(mesh8):
+    """model_batched (one doubled-batch denoiser call — TPU-native CFG
+    batching) under dp sharding: the concatenated 2B batch stays sharded
+    on dp, the output keeps the latent sharding, and the trajectory is
+    bit-comparable to the unsharded (model, model_uncond) pair path."""
+    from sonar_tpu.api import SonarPipeline
+
+    dp = mesh8.shape["dp"]
+    x_np = np.random.default_rng(3).standard_normal((dp * 2, 4, 8, 8))
+    x = shard_latent(jnp.asarray(x_np, jnp.float32) * 14.6, mesh8)
+
+    def cond(xi, sb, **kw):
+        s = jnp.asarray(sb, xi.dtype).reshape(-1, 1, 1, 1)
+        return xi / (1.0 + s)
+
+    def uncond(xi, sb, **kw):
+        s = jnp.asarray(sb, xi.dtype).reshape(-1, 1, 1, 1)
+        return (xi * 0.97) / (1.0 + s)
+
+    def batched(x2, sb2, **kw):
+        b = x2.shape[0] // 2
+        sig = jnp.asarray(sb2)
+        sc = sig if sig.ndim == 0 else sig[:b]
+        su = sig if sig.ndim == 0 else sig[b:]
+        return jnp.concatenate([cond(x2[:b], sc), uncond(x2[b:], su)], 0)
+
+    sigmas = jnp.asarray([14.6, 5.0, 1.0, 0.0], jnp.float32)
+    pipe = SonarPipeline(model_batched=batched, cfg_scale=6.0, seed=5)
+    with mesh8:
+        out = jax.jit(lambda v: pipe(v, sigmas))(x)
+    jax.block_until_ready(out)
+    assert out.shape == x.shape
+    assert np.isfinite(np.asarray(out)).all()
+    assert out.sharding == x.sharding, f"lost sharding: {out.sharding}"
+    pipe_pair = SonarPipeline(model=cond, model_uncond=uncond,
+                              cfg_scale=6.0, seed=5)
+    out_pair = pipe_pair(jnp.asarray(x_np, jnp.float32) * 14.6, sigmas)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out_pair),
+                               rtol=1e-5, atol=2e-5)

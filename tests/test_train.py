@@ -1,0 +1,114 @@
+"""Training-step tests: remat policies, determinism, and memory effect.
+
+The reference never trains (the denoiser is host-supplied); the train
+path is a framework capability beyond reference parity, so these tests
+validate it internally rather than against an oracle.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sonar_tpu.models import (
+    UNetConfig,
+    init_train_state,
+    init_unet_params,
+    make_train_step,
+)
+
+CFG = UNetConfig(model_channels=16, channel_mult=(1, 2), num_res_blocks=1,
+                 attention_levels=(1,), num_heads=4, norm_groups=4)
+
+
+def _one_step(remat):
+    params = init_unet_params(jax.random.key(0), CFG)
+    opt_state = init_train_state(params)
+    batch = jnp.asarray(
+        np.random.default_rng(0).standard_normal((2, 4, 16, 16)), jnp.float32)
+    step = jax.jit(make_train_step(CFG, remat=remat))
+    params2, opt_state2, loss = step(params, opt_state, batch,
+                                     jax.random.key(1))
+    jax.block_until_ready(loss)
+    return params2, float(loss)
+
+
+@pytest.mark.parametrize("remat", [True, "full", "dots"])
+def test_remat_matches_no_remat(remat):
+    """Remat changes scheduling, not math: params after one step must be
+    bit-comparable with and without rematerialization."""
+    p_ref, loss_ref = _one_step(False)
+    p_rem, loss_rem = _one_step(remat)
+    assert loss_rem == pytest.approx(loss_ref, rel=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(p_ref),
+                    jax.tree_util.tree_leaves(p_rem)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)
+
+
+def test_remat_unknown_policy_raises():
+    with pytest.raises(ValueError, match="unknown remat policy"):
+        make_train_step(CFG, remat="bogus")
+
+
+def test_remat_transform_is_applied():
+    """The remat knob must actually insert jax.checkpoint into the traced
+    step (the jaxpr carries a remat/checkpoint equation). The memory
+    effect itself is only observable in TPU liveness scheduling — the CPU
+    backend's memory_analysis reports identical temp sizes either way —
+    so correctness of application is what's asserted portably."""
+    params = init_unet_params(jax.random.key(0), CFG)
+    opt_state = init_train_state(params)
+    batch = jnp.zeros((2, 4, 16, 16), jnp.float32)
+
+    def jaxpr_text(remat):
+        step = make_train_step(CFG, remat=remat)
+        return str(jax.make_jaxpr(step)(params, opt_state, batch,
+                                        jax.random.key(1)))
+
+    assert "remat" in jaxpr_text("full") or "checkpoint" in jaxpr_text("full")
+    assert "remat" not in jaxpr_text(False)
+
+
+def test_remat_reduces_live_activation_memory_tpu():
+    """On TPU, the compiled backward with remat='full' must allocate less
+    temp memory than without (the point of the knob)."""
+    if jax.default_backend() == "cpu":
+        pytest.skip("CPU memory_analysis does not model liveness")
+    params = init_unet_params(jax.random.key(0), CFG)
+    opt_state = init_train_state(params)
+    batch = jnp.zeros((8, 4, 64, 64), jnp.float32)
+
+    def temp_bytes(remat):
+        step = jax.jit(make_train_step(CFG, remat=remat))
+        compiled = step.lower(params, opt_state, batch,
+                              jax.random.key(1)).compile()
+        m = compiled.memory_analysis()
+        if m is None:
+            pytest.skip("backend lacks memory_analysis")
+        return m.temp_size_in_bytes
+
+    full = temp_bytes(False)
+    remat = temp_bytes("full")
+    assert remat < full, (
+        f"remat temp {remat} not below no-remat temp {full}")
+
+
+def test_train_loss_decreases():
+    """A few steps on a fixed batch must reduce the loss (sanity that the
+    optimizer wiring actually trains)."""
+    import optax
+
+    params = init_unet_params(jax.random.key(0), CFG)
+    optimizer = optax.adam(2e-3)
+    opt_state = optimizer.init(params)
+    batch = jnp.asarray(
+        np.random.default_rng(1).standard_normal((4, 4, 16, 16)), jnp.float32)
+    step = jax.jit(make_train_step(CFG, optimizer))
+    losses = []
+    for i in range(8):
+        # fixed noise key: deterministic objective so the decrease is real
+        params, opt_state, loss = step(params, opt_state, batch,
+                                       jax.random.key(2))
+        losses.append(float(loss))
+    assert losses[-1] < losses[0] * 0.9, losses
