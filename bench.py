@@ -377,12 +377,10 @@ def _sdxl_setup(cfg=None, shape=_SDXL_SHAPE):
     import jax
 
     from sonar_tpu.cfg import DiscreteSampling
-    from sonar_tpu.models import UNetConfig, init_unet_params, unet_apply
+    from sonar_tpu.models import init_unet_params, unet_apply
 
     if cfg is None:
-        cfg = UNetConfig(model_channels=320, channel_mult=(1, 2, 4, 4),
-                         num_res_blocks=2, attention_levels=(2, 3),
-                         num_heads=8, norm_groups=32)
+        cfg = _sdxl_cfg()
     params = init_unet_params(jax.random.key(0), cfg)
 
     # params arrive through the samplers' extra_args channel so they are jit
@@ -476,12 +474,10 @@ def _sdxl_batched_setup(cfg=None, shape=_SDXL_SHAPE):
     import jax
 
     from sonar_tpu.cfg import DiscreteSampling
-    from sonar_tpu.models import UNetConfig, init_unet_params, unet_apply
+    from sonar_tpu.models import init_unet_params, unet_apply
 
     if cfg is None:
-        cfg = UNetConfig(model_channels=320, channel_mult=(1, 2, 4, 4),
-                         num_res_blocks=2, attention_levels=(2, 3),
-                         num_heads=8, norm_groups=32)
+        cfg = _sdxl_cfg()
     params = init_unet_params(jax.random.key(0), cfg)
 
     def batched_model(x2, sb2, params=None, **kw):
@@ -520,12 +516,49 @@ def bench_sdxl_euler_batched_per_call_ms() -> float:
 
 
 def bench_proxy_euler_batched_per_call_ms() -> float:
+    return _euler_batched_per_call_ms(
+        _sdxl_batched_setup(_proxy_cfg(), (1, 4, 64, 64)))
+
+
+def _sdxl_cfg(dtype=None):
     from sonar_tpu.models import UNetConfig
 
-    cfg = UNetConfig(model_channels=192, channel_mult=(1, 2, 4),
-                     num_res_blocks=1, attention_levels=(1, 2), num_heads=8,
-                     norm_groups=32)
-    return _euler_batched_per_call_ms(_sdxl_batched_setup(cfg, (1, 4, 64, 64)))
+    return UNetConfig(model_channels=320, channel_mult=(1, 2, 4, 4),
+                      num_res_blocks=2, attention_levels=(2, 3),
+                      num_heads=8, norm_groups=32,
+                      dtype=dtype or jnp.float32)
+
+
+def _proxy_cfg(dtype=None):
+    from sonar_tpu.models import UNetConfig
+
+    return UNetConfig(model_channels=192, channel_mult=(1, 2, 4),
+                      num_res_blocks=1, attention_levels=(1, 2), num_heads=8,
+                      norm_groups=32, dtype=dtype or jnp.float32)
+
+
+def bench_sdxl_euler_bf16_per_call_ms() -> float:
+    """Euler pair with the UNet computing in bfloat16 (params + activations;
+    the sampler carry and schedule stay float32). bf16 doubles MXU rate and
+    halves HBM traffic — the TPU-native serving configuration."""
+    return _euler_per_call_ms(_sdxl_setup(_sdxl_cfg(jnp.bfloat16)))
+
+
+def bench_sdxl_euler_fast_per_call_ms() -> float:
+    """Speed-of-light serving config: batched CFG (one UNet instance) AND
+    bf16 compute."""
+    return _euler_batched_per_call_ms(
+        _sdxl_batched_setup(_sdxl_cfg(jnp.bfloat16)))
+
+
+def bench_proxy_euler_bf16_per_call_ms() -> float:
+    return _euler_per_call_ms(
+        _sdxl_setup(_proxy_cfg(jnp.bfloat16), (1, 4, 64, 64)))
+
+
+def bench_proxy_euler_fast_per_call_ms() -> float:
+    return _euler_batched_per_call_ms(
+        _sdxl_batched_setup(_proxy_cfg(jnp.bfloat16), (1, 4, 64, 64)))
 
 
 def _proxy_setup():
@@ -537,12 +570,7 @@ def _proxy_setup():
     block, 4×64×64) measured 82s (euler) / 177s (config3) wall on chip —
     vs ~800s each for the full pair — giving a same-machinery overhead
     number early in the priority order (measured proxy overhead +1.6%)."""
-    from sonar_tpu.models import UNetConfig
-
-    cfg = UNetConfig(model_channels=192, channel_mult=(1, 2, 4),
-                     num_res_blocks=1, attention_levels=(1, 2), num_heads=8,
-                     norm_groups=32)
-    return _sdxl_setup(cfg, (1, 4, 64, 64))
+    return _sdxl_setup(_proxy_cfg(), (1, 4, 64, 64))
 
 
 def bench_proxy_euler_per_call_ms() -> float:
@@ -565,6 +593,10 @@ _SINGLE = {
     "proxy_config3": bench_proxy_config3_per_call_ms,
     "sdxl_euler_batched": bench_sdxl_euler_batched_per_call_ms,
     "proxy_euler_batched": bench_proxy_euler_batched_per_call_ms,
+    "sdxl_euler_bf16": bench_sdxl_euler_bf16_per_call_ms,
+    "sdxl_euler_fast": bench_sdxl_euler_fast_per_call_ms,
+    "proxy_euler_bf16": bench_proxy_euler_bf16_per_call_ms,
+    "proxy_euler_fast": bench_proxy_euler_fast_per_call_ms,
 }
 
 # per-metric timeout ceilings, clamped to the remaining budget at launch.
@@ -573,9 +605,11 @@ _SINGLE = {
 # cache — measured ~795s per SDXL metric EVERY run (BENCH validation,
 # 2026-08-17); first pallas remote-compiles also take minutes.
 _TIMEOUTS = {"sdxl_euler": 1200, "sdxl_config3": 1200,
-             "sdxl_euler_batched": 1200,
+             "sdxl_euler_batched": 1200, "sdxl_euler_bf16": 1200,
+             "sdxl_euler_fast": 1200,
              "proxy_euler": 560, "proxy_config3": 560,
-             "proxy_euler_batched": 560, "noise_fused": 900,
+             "proxy_euler_batched": 560, "proxy_euler_bf16": 560,
+             "proxy_euler_fast": 560, "noise_fused": 900,
              "noise_bulk_fused": 900, "fused_ab": 900,
              "fused_old_ab": 900, "fused_highres_ab": 900, "hw_ab": 900}
 
@@ -676,7 +710,8 @@ _SINGLE["voronoi_anchor"] = bench_voronoi_torch_anchor
 # pyramid Mpix/s, torch anchor, config3 overhead), then extras
 _CORE = ["sampler", "noise", "anchor", "proxy_euler", "proxy_config3",
          "sdxl_euler", "sdxl_config3"]
-_EXTRAS = ["proxy_euler_batched", "sdxl_euler_batched",
+_EXTRAS = ["proxy_euler_batched", "proxy_euler_fast", "proxy_euler_bf16",
+           "sdxl_euler_fast", "sdxl_euler_batched", "sdxl_euler_bf16",
            "voronoi", "voronoi_anchor", "sampler_b8", "power", "noise_bulk",
            "fused_old_ab", "fused_highres_ab", "fused_ab", "noise_fused",
            "noise_bulk_fused", "hw_ab", "noise_hw"]
@@ -685,9 +720,11 @@ _EXTRAS = ["proxy_euler_batched", "sdxl_euler_batched",
 # (the SDXL metrics measured 795-900s wall each, dominated by the
 # uncacheable remote compile)
 _MIN_LAUNCH = {"sdxl_euler": 700, "sdxl_config3": 700,
-               "sdxl_euler_batched": 500,
+               "sdxl_euler_batched": 500, "sdxl_euler_bf16": 500,
+               "sdxl_euler_fast": 500,
                "proxy_euler": 300, "proxy_config3": 300,
-               "proxy_euler_batched": 200}
+               "proxy_euler_batched": 200, "proxy_euler_bf16": 200,
+               "proxy_euler_fast": 200}
 
 
 def _run_one(name: str, timeout: float):
@@ -820,6 +857,12 @@ def _emit(r, timings):
             "sdxl_euler_batched_per_call_ms": _rnd(r.get("sdxl_euler_batched")),
             "proxy_euler_batched_per_call_ms":
                 _rnd(r.get("proxy_euler_batched")),
+            # bf16 UNet compute (f32 carry/schedule) and the combined
+            # batched+bf16 "fast" serving config
+            "sdxl_euler_bf16_per_call_ms": _rnd(r.get("sdxl_euler_bf16")),
+            "sdxl_euler_fast_per_call_ms": _rnd(r.get("sdxl_euler_fast")),
+            "proxy_euler_bf16_per_call_ms": _rnd(r.get("proxy_euler_bf16")),
+            "proxy_euler_fast_per_call_ms": _rnd(r.get("proxy_euler_fast")),
             "noise_voronoi_mpix_per_sec": _rnd(vor),
             "voronoi_torch_cpu_anchor_mpix_per_sec": _rnd(vor_anchor),
             "voronoi_vs_anchor": _rnd(_ratio(vor, vor_anchor), 2),
