@@ -561,6 +561,43 @@ def bench_proxy_euler_fast_per_call_ms() -> float:
         _sdxl_batched_setup(_proxy_cfg(jnp.bfloat16), (1, 4, 64, 64)))
 
 
+def _config3_batched_per_call_ms(setup) -> float:
+    """BASELINE config 3 through the batched-CFG path (same scheduled
+    power noise + db4-L3 wavelet CFG, one doubled-batch denoiser call)."""
+    from sonar_tpu.api import SonarPipeline
+    from sonar_tpu.cfg import WaveletCFG, WCFGRules
+    from sonar_tpu.noise import ScheduledNoise, get_noise_item
+    from sonar_tpu.noise.power import PowerNoiseItem
+    from sonar_tpu.samplers import SonarConfig
+
+    batched, ms, sigmas, x0, params = setup
+    noise = ScheduledNoise(
+        noise=PowerNoiseItem(alpha=0.5, min_freq=0.05, time_brownian=True),
+        start_sigma=14.7, end_sigma=0.3,
+        fallback_noise=get_noise_item("gaussian"))
+    rules = WCFGRules.build(
+        wave="db4", level=3, padding_mode="periodization",
+        high_precision_mode=False,
+        diff=dict(yl_scale=8.0, yh_scales=[7.0, [6.0, 6.0, 7.0], "fill"],
+                  scales_end=dict(yl_scale=6.0, yh_scales=6.0),
+                  schedule="half_cosine", schedule_mode="sampling"))
+    pipe = SonarPipeline(model_batched=batched,
+                         sampler="sonar_dpmpp_sde",
+                         sonar_config=SonarConfig(momentum=0.95),
+                         noise=noise, cfg_scale=7.0,
+                         wavelet_cfg=WaveletCFG(rules=rules),
+                         model_sampling=ms, seed=7)
+    return _time_pipeline(pipe, params, x0, sigmas, stages=2)
+
+
+def bench_proxy_config3_fast_per_call_ms() -> float:
+    """config3 on the fast serving path (batched CFG + bf16 proxy UNet):
+    paired with proxy_euler_fast this proves the sonar machinery stays
+    ≈0% overhead in the production configuration too."""
+    return _config3_batched_per_call_ms(
+        _sdxl_batched_setup(_proxy_cfg(jnp.bfloat16), (1, 4, 64, 64)))
+
+
 def _proxy_setup():
     """Shrunk-SDXL proxy for the config-3 overhead pair: the full SDXL pair
     costs ~795s of UNCACHEABLE remote compile per metric (the tunnel relay
@@ -597,6 +634,7 @@ _SINGLE = {
     "sdxl_euler_fast": bench_sdxl_euler_fast_per_call_ms,
     "proxy_euler_bf16": bench_proxy_euler_bf16_per_call_ms,
     "proxy_euler_fast": bench_proxy_euler_fast_per_call_ms,
+    "proxy_config3_fast": bench_proxy_config3_fast_per_call_ms,
 }
 
 # per-metric timeout ceilings, clamped to the remaining budget at launch.
@@ -609,7 +647,8 @@ _TIMEOUTS = {"sdxl_euler": 1200, "sdxl_config3": 1200,
              "sdxl_euler_fast": 1200,
              "proxy_euler": 560, "proxy_config3": 560,
              "proxy_euler_batched": 560, "proxy_euler_bf16": 560,
-             "proxy_euler_fast": 560, "noise_fused": 900,
+             "proxy_euler_fast": 560, "proxy_config3_fast": 700,
+             "noise_fused": 900,
              "noise_bulk_fused": 900, "fused_ab": 900,
              "fused_old_ab": 900, "fused_highres_ab": 900, "hw_ab": 900}
 
@@ -710,7 +749,8 @@ _SINGLE["voronoi_anchor"] = bench_voronoi_torch_anchor
 # pyramid Mpix/s, torch anchor, config3 overhead), then extras
 _CORE = ["sampler", "noise", "anchor", "proxy_euler", "proxy_config3",
          "sdxl_euler", "sdxl_config3"]
-_EXTRAS = ["proxy_euler_batched", "proxy_euler_fast", "proxy_euler_bf16",
+_EXTRAS = ["proxy_euler_batched", "proxy_euler_fast", "proxy_config3_fast",
+           "proxy_euler_bf16",
            "sdxl_euler_fast", "sdxl_euler_batched", "sdxl_euler_bf16",
            "voronoi", "voronoi_anchor", "sampler_b8", "power", "noise_bulk",
            "fused_old_ab", "fused_highres_ab", "fused_ab", "noise_fused",
@@ -724,7 +764,7 @@ _MIN_LAUNCH = {"sdxl_euler": 700, "sdxl_config3": 700,
                "sdxl_euler_fast": 500,
                "proxy_euler": 300, "proxy_config3": 300,
                "proxy_euler_batched": 200, "proxy_euler_bf16": 200,
-               "proxy_euler_fast": 200}
+               "proxy_euler_fast": 200, "proxy_config3_fast": 300}
 
 
 def _run_one(name: str, timeout: float):
@@ -863,6 +903,13 @@ def _emit(r, timings):
             "sdxl_euler_fast_per_call_ms": _rnd(r.get("sdxl_euler_fast")),
             "proxy_euler_bf16_per_call_ms": _rnd(r.get("proxy_euler_bf16")),
             "proxy_euler_fast_per_call_ms": _rnd(r.get("proxy_euler_fast")),
+            "proxy_config3_fast_per_call_ms":
+                _rnd(r.get("proxy_config3_fast")),
+            "config3_overhead_fast_pct": _rnd(
+                None if r.get("proxy_config3_fast") is None
+                or r.get("proxy_euler_fast") is None
+                else (r["proxy_config3_fast"] - r["proxy_euler_fast"])
+                / r["proxy_euler_fast"] * 100.0, 2),
             "noise_voronoi_mpix_per_sec": _rnd(vor),
             "voronoi_torch_cpu_anchor_mpix_per_sec": _rnd(vor_anchor),
             "voronoi_vs_anchor": _rnd(_ratio(vor, vor_anchor), 2),
