@@ -112,3 +112,37 @@ def test_train_loss_decreases():
                                        jax.random.key(2))
         losses.append(float(loss))
     assert losses[-1] < losses[0] * 0.9, losses
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    """save_checkpoint/restore_checkpoint must round-trip the full train
+    state bit-exactly, and restore must honor a sharded target."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from sonar_tpu.models.checkpoint import restore_checkpoint, save_checkpoint
+    from sonar_tpu.parallel import make_mesh
+
+    params = init_unet_params(jax.random.key(0), CFG)
+    opt_state = init_train_state(params)
+    state = {"params": params, "opt_state": opt_state, "step": jnp.asarray(7)}
+    path = tmp_path / "ckpt"
+    save_checkpoint(path, state)
+    restored = restore_checkpoint(path)
+    for a, b in zip(jax.tree_util.tree_leaves(state),
+                    jax.tree_util.tree_leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # sharded restore: land every leaf replicated on an 8-device mesh
+    mesh = make_mesh(8, axis_names=("dp", "tp"))
+    sh = NamedSharding(mesh, P())
+    target = jax.tree_util.tree_map(
+        lambda leaf: jax.ShapeDtypeStruct(jnp.shape(leaf),
+                                          jnp.asarray(leaf).dtype,
+                                          sharding=sh),
+        state)
+    restored_sharded = restore_checkpoint(path, target=target)
+    leaf = jax.tree_util.tree_leaves(restored_sharded)[0]
+    assert leaf.sharding == sh
+    for a, b in zip(jax.tree_util.tree_leaves(state),
+                    jax.tree_util.tree_leaves(restored_sharded)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
