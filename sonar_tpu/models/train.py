@@ -45,6 +45,7 @@ def make_train_step(
     sigma_min: float = 0.03,
     sigma_max: float = 14.6,
     remat: bool | str = False,
+    compute_dtype: Any = None,
 ) -> Callable:
     """Returns ``train_step(params, opt_state, batch, key) ->
     (params, opt_state, loss)``; ``batch`` is clean latents (B,C,H,W).
@@ -56,9 +57,26 @@ def make_train_step(
     only the cheap elementwise/norm chains between them (most of the
     memory win at a fraction of the recompute); ``False`` disables.
     Gradients are bit-identical either way — remat changes scheduling,
-    not math (tests/test_train.py)."""
+    not math (tests/test_train.py).
+
+    ``compute_dtype`` (e.g. ``jnp.bfloat16``) enables mixed-precision
+    training the standard TPU way: the optimizer keeps float32 master
+    weights, the forward/backward runs with params + activations cast to
+    ``compute_dtype`` (2x MXU rate, half the activation HBM), and the
+    loss + gradients land back in float32 (grad-of-cast is cast-back)."""
+    import dataclasses
+
     optimizer = optimizer or optax.adam(1e-4)
+    apply_cfg = (cfg if compute_dtype is None
+                 else dataclasses.replace(cfg, dtype=compute_dtype))
     apply = _remat_apply(remat)
+
+    def _cast(tree):
+        if compute_dtype is None:
+            return tree
+        return jax.tree_util.tree_map(
+            lambda a: a.astype(compute_dtype)
+            if jnp.issubdtype(a.dtype, jnp.floating) else a, tree)
 
     def loss_fn(params, batch, key):
         ksig, keps = jax.random.split(key)
@@ -71,8 +89,10 @@ def make_train_step(
         eps = jax.random.normal(keps, batch.shape, batch.dtype)
         noised = batch + sigma.reshape(-1, 1, 1, 1) * eps
         c_in = (1.0 / jnp.sqrt(1.0 + sigma**2)).reshape(-1, 1, 1, 1)
-        eps_hat = apply(params, noised * c_in, sigma, cfg)
-        return jnp.mean((eps_hat - eps) ** 2)
+        eps_hat = apply(_cast(params), noised * c_in, sigma, apply_cfg)
+        # the loss reduces in float32 regardless of compute precision
+        return jnp.mean((eps_hat.astype(jnp.float32)
+                         - eps.astype(jnp.float32)) ** 2)
 
     def train_step(params, opt_state, batch, key):
         loss, grads = jax.value_and_grad(loss_fn)(params, batch, key)

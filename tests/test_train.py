@@ -146,3 +146,31 @@ def test_checkpoint_roundtrip(tmp_path):
     for a, b in zip(jax.tree_util.tree_leaves(state),
                     jax.tree_util.tree_leaves(restored_sharded)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_mixed_precision_training():
+    """compute_dtype=bf16: master weights and gradients stay float32, the
+    loss is finite and close to the f32 loss (bf16 has ~3 decimal digits),
+    and training still decreases the loss."""
+    import optax
+
+    params = init_unet_params(jax.random.key(0), CFG)
+    optimizer = optax.adam(2e-3)
+    opt_state = optimizer.init(params)
+    batch = jnp.asarray(
+        np.random.default_rng(1).standard_normal((4, 4, 16, 16)), jnp.float32)
+    step_mp = jax.jit(make_train_step(CFG, optimizer,
+                                      compute_dtype=jnp.bfloat16))
+    step_fp = jax.jit(make_train_step(CFG, optimizer))
+    _, _, loss_fp = step_fp(params, opt_state, batch, jax.random.key(2))
+    p, s = params, opt_state
+    losses = []
+    for _ in range(8):
+        p, s, loss = step_mp(p, s, batch, jax.random.key(2))
+        losses.append(float(loss))
+    # master weights stayed f32
+    assert all(leaf.dtype == jnp.float32
+               for leaf in jax.tree_util.tree_leaves(p))
+    assert np.isfinite(losses).all()
+    assert abs(losses[0] - float(loss_fp)) < 0.05 * max(1.0, float(loss_fp))
+    assert losses[-1] < losses[0] * 0.9, losses
