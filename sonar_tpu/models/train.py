@@ -105,3 +105,14 @@ def make_train_step(
 
 def init_train_state(params, optimizer: optax.GradientTransformation | None = None) -> Any:
     return (optimizer or optax.adam(1e-4)).init(params)
+
+
+def ema_update(ema_params: Any, params: Any, decay: float = 0.999) -> Any:
+    """One EMA step: ``ema ← decay·ema + (1−decay)·params`` per leaf.
+
+    Standard practice for diffusion models: sample from the EMA weights,
+    train the raw ones. Pure and jit-friendly — fold it into the jitted
+    train loop; initialize with ``ema = params``."""
+    return jax.tree_util.tree_map(
+        lambda e, p: e * decay + p.astype(e.dtype) * (1.0 - decay),
+        ema_params, params)

@@ -174,3 +174,23 @@ def test_mixed_precision_training():
     assert np.isfinite(losses).all()
     assert abs(losses[0] - float(loss_fp)) < 0.05 * max(1.0, float(loss_fp))
     assert losses[-1] < losses[0] * 0.9, losses
+
+
+def test_ema_update_tracks_params():
+    """EMA must move toward params at rate (1-decay) and converge onto a
+    fixed target; jit-compatible."""
+    from sonar_tpu.models import ema_update
+
+    params = {"w": jnp.ones((4,)) * 2.0, "b": jnp.zeros((2,))}
+    ema = jax.tree_util.tree_map(jnp.zeros_like, params)
+    step = jax.jit(lambda e, p: ema_update(e, p, decay=0.9))
+    for _ in range(100):
+        ema = step(ema, params)
+    for e, p in zip(jax.tree_util.tree_leaves(ema),
+                    jax.tree_util.tree_leaves(params)):
+        np.testing.assert_allclose(np.asarray(e), np.asarray(p), atol=1e-4)
+    # one step from zero moves exactly (1-decay)*params
+    one = ema_update(jax.tree_util.tree_map(jnp.zeros_like, params), params,
+                     decay=0.9)
+    np.testing.assert_allclose(np.asarray(one["w"]),
+                               0.1 * np.asarray(params["w"]), rtol=1e-6)
