@@ -430,16 +430,16 @@ def bench_sdxl_euler_per_call_ms() -> float:
     return _euler_per_call_ms(_sdxl_setup())
 
 
-def _config3_per_call_ms(setup) -> float:
-    """BASELINE config 3: dpmpp_sde + scheduled time-brownian power noise +
-    db4-L3 wavelet CFG (2 solver stages per step)."""
-    from sonar_tpu.api import SonarPipeline
+def _config3_pipe_kwargs() -> dict:
+    """The BASELINE config-3 pipeline construction (dpmpp_sde + scheduled
+    time-brownian power noise + db4-L3 wavelet CFG), shared by the pair and
+    batched variants — the two overhead metrics are only cross-comparable
+    while they build the IDENTICAL config."""
     from sonar_tpu.cfg import WaveletCFG, WCFGRules
     from sonar_tpu.noise import ScheduledNoise, get_noise_item
     from sonar_tpu.noise.power import PowerNoiseItem
     from sonar_tpu.samplers import SonarConfig
 
-    cond, uncond, ms, sigmas, x0, params = setup
     noise = ScheduledNoise(
         noise=PowerNoiseItem(alpha=0.5, min_freq=0.05, time_brownian=True),
         start_sigma=14.7, end_sigma=0.3,
@@ -450,12 +450,20 @@ def _config3_per_call_ms(setup) -> float:
         diff=dict(yl_scale=8.0, yh_scales=[7.0, [6.0, 6.0, 7.0], "fill"],
                   scales_end=dict(yl_scale=6.0, yh_scales=6.0),
                   schedule="half_cosine", schedule_mode="sampling"))
-    pipe = SonarPipeline(model=cond, model_uncond=uncond,
-                         sampler="sonar_dpmpp_sde",
-                         sonar_config=SonarConfig(momentum=0.95),
-                         noise=noise, cfg_scale=7.0,
-                         wavelet_cfg=WaveletCFG(rules=rules),
-                         model_sampling=ms, seed=7)
+    return dict(sampler="sonar_dpmpp_sde",
+                sonar_config=SonarConfig(momentum=0.95),
+                noise=noise, cfg_scale=7.0,
+                wavelet_cfg=WaveletCFG(rules=rules), seed=7)
+
+
+def _config3_per_call_ms(setup) -> float:
+    """BASELINE config 3: dpmpp_sde + scheduled time-brownian power noise +
+    db4-L3 wavelet CFG (2 solver stages per step)."""
+    from sonar_tpu.api import SonarPipeline
+
+    cond, uncond, ms, sigmas, x0, params = setup
+    pipe = SonarPipeline(model=cond, model_uncond=uncond, model_sampling=ms,
+                         **_config3_pipe_kwargs())
     return _time_pipeline(pipe, params, x0, sigmas, stages=2)
 
 
@@ -466,19 +474,20 @@ def bench_sdxl_config3_per_call_ms() -> float:
 def _sdxl_batched_setup(cfg=None, shape=_SDXL_SHAPE):
     """Batched-CFG variant of _sdxl_setup: ONE unet_apply on the doubled
     batch (rows [:B] cond, [B:] uncond — the uncond input scale baked into
-    the second half). The sampling program then contains a single UNet
-    instance instead of two: at SDXL scale the remote compile is the
-    dominant bench cost (~795s, uncacheable) and scales with program size,
-    and the MXU sees a 2B batch. Returns (batched, ms, sigmas, x0, params).
-    """
-    import jax
-
-    from sonar_tpu.cfg import DiscreteSampling
-    from sonar_tpu.models import init_unet_params, unet_apply
+    the second half, matching _sdxl_setup's uncond_model exactly so the
+    pair/batched comparison samples identical math). The sampling program
+    then contains a single UNet instance instead of two: at SDXL scale the
+    remote compile is the dominant bench cost (~795s, uncacheable) and
+    scales with program size, and the MXU sees a 2B batch. Returns
+    (batched, ms, sigmas, x0, params)."""
+    from sonar_tpu.models import unet_apply
 
     if cfg is None:
         cfg = _sdxl_cfg()
-    params = init_unet_params(jax.random.key(0), cfg)
+    # schedule/x0/params come from the SAME construction as the pair side —
+    # any drift between the two setups would silently invalidate the
+    # batched-vs-pair per-call and compile-wall comparisons
+    _, _, ms, sigmas, x0, params = _sdxl_setup(cfg, shape)
 
     def batched_model(x2, sb2, params=None, **kw):
         n = x2.shape[0]
@@ -489,12 +498,7 @@ def _sdxl_batched_setup(cfg=None, shape=_SDXL_SHAPE):
         scale = jnp.where(half, 0.97, 1.0).astype(x2.dtype)
         return x2 - s * unet_apply(params, x2 * c_in * scale, sb, cfg)
 
-    ramp = jnp.linspace(0, 1, _SDXL_STEPS)
-    sigmas = (14.6 ** (1 / 7.0) + ramp * (0.03 ** (1 / 7.0)
-                                          - 14.6 ** (1 / 7.0))) ** 7.0
-    sigmas = jnp.concatenate([sigmas, jnp.zeros((1,))]).astype(jnp.float32)
-    x0 = jax.random.normal(jax.random.key(2), shape, jnp.float32) * 14.6
-    return batched_model, DiscreteSampling(), sigmas, x0, params
+    return batched_model, ms, sigmas, x0, params
 
 
 def _euler_batched_per_call_ms(setup) -> float:
@@ -562,31 +566,13 @@ def bench_proxy_euler_fast_per_call_ms() -> float:
 
 
 def _config3_batched_per_call_ms(setup) -> float:
-    """BASELINE config 3 through the batched-CFG path (same scheduled
-    power noise + db4-L3 wavelet CFG, one doubled-batch denoiser call)."""
+    """BASELINE config 3 through the batched-CFG path (identical pipeline
+    construction via _config3_pipe_kwargs, one doubled-batch call)."""
     from sonar_tpu.api import SonarPipeline
-    from sonar_tpu.cfg import WaveletCFG, WCFGRules
-    from sonar_tpu.noise import ScheduledNoise, get_noise_item
-    from sonar_tpu.noise.power import PowerNoiseItem
-    from sonar_tpu.samplers import SonarConfig
 
     batched, ms, sigmas, x0, params = setup
-    noise = ScheduledNoise(
-        noise=PowerNoiseItem(alpha=0.5, min_freq=0.05, time_brownian=True),
-        start_sigma=14.7, end_sigma=0.3,
-        fallback_noise=get_noise_item("gaussian"))
-    rules = WCFGRules.build(
-        wave="db4", level=3, padding_mode="periodization",
-        high_precision_mode=False,
-        diff=dict(yl_scale=8.0, yh_scales=[7.0, [6.0, 6.0, 7.0], "fill"],
-                  scales_end=dict(yl_scale=6.0, yh_scales=6.0),
-                  schedule="half_cosine", schedule_mode="sampling"))
-    pipe = SonarPipeline(model_batched=batched,
-                         sampler="sonar_dpmpp_sde",
-                         sonar_config=SonarConfig(momentum=0.95),
-                         noise=noise, cfg_scale=7.0,
-                         wavelet_cfg=WaveletCFG(rules=rules),
-                         model_sampling=ms, seed=7)
+    pipe = SonarPipeline(model_batched=batched, model_sampling=ms,
+                         **_config3_pipe_kwargs())
     return _time_pipeline(pipe, params, x0, sigmas, stages=2)
 
 

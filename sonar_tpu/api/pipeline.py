@@ -71,6 +71,11 @@ class SonarPipeline:
             raise ValueError(
                 "model_batched and model_uncond are mutually exclusive: "
                 "the batched callable already produces both halves")
+        if model_batched is not None and model is not None:
+            raise ValueError(
+                "model_batched and model are mutually exclusive: the "
+                "batched callable already produces the conditional half "
+                "(rows [:B]) — passing both would silently ignore model")
         self.model = model
         self.model_uncond = model_uncond
         self.model_batched = model_batched

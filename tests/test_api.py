@@ -480,5 +480,14 @@ def test_pipeline_model_batched_excludes_uncond():
     from sonar_tpu.api import SonarPipeline
 
     with pytest.raises(ValueError, match="mutually exclusive"):
-        SonarPipeline(model=lambda x, s: x, model_uncond=lambda x, s: x,
+        SonarPipeline(model_uncond=lambda x, s: x,
                       model_batched=lambda x, s: x)
+
+
+def test_pipeline_model_batched_excludes_model():
+    """model + model_batched must raise, not silently ignore model
+    (review r3 finding: the batched branch never calls model)."""
+    from sonar_tpu.api import SonarPipeline
+
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        SonarPipeline(model=lambda x, s: x, model_batched=lambda x, s: x)

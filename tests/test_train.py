@@ -131,6 +131,11 @@ def test_checkpoint_roundtrip(tmp_path):
     for a, b in zip(jax.tree_util.tree_leaves(state),
                     jax.tree_util.tree_leaves(restored)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # STRUCTURE must round-trip too, not just the leaves: orbax stores
+    # custom nodes (optax NamedTuples) as lists, and a restored opt_state
+    # that lost its structure crashes optimizer.update (review r3 finding)
+    assert (jax.tree_util.tree_structure(restored)
+            == jax.tree_util.tree_structure(state))
 
     # sharded restore: land every leaf replicated on an 8-device mesh
     mesh = make_mesh(8, axis_names=("dp", "tp"))
@@ -174,6 +179,46 @@ def test_mixed_precision_training():
     assert np.isfinite(losses).all()
     assert abs(losses[0] - float(loss_fp)) < 0.05 * max(1.0, float(loss_fp))
     assert losses[-1] < losses[0] * 0.9, losses
+
+
+def test_checkpoint_restore_usable_by_optimizer(tmp_path):
+    """The target-less restore must hand back an opt_state the optimizer
+    actually accepts (NamedTuple structure intact) — the advertised
+    (params, opt_state) round-trip, reproduced broken in review r3."""
+    import optax
+
+    from sonar_tpu.models.checkpoint import restore_checkpoint, save_checkpoint
+
+    params = init_unet_params(jax.random.key(0), CFG)
+    optimizer = optax.adam(2e-3)
+    state = {"params": params, "opt_state": optimizer.init(params)}
+    path = tmp_path / "ckpt_opt"
+    save_checkpoint(path, state)
+    restored = restore_checkpoint(path)
+    grads = jax.tree_util.tree_map(jnp.ones_like, restored["params"])
+    updates, _ = optimizer.update(grads, restored["opt_state"],
+                                  restored["params"])
+    new_params = optax.apply_updates(restored["params"], updates)
+    assert (jax.tree_util.tree_structure(new_params)
+            == jax.tree_util.tree_structure(params))
+
+
+def test_sigma_embedding_f32_under_bf16():
+    """The sinusoidal sigma embedding must compute its angles in float32
+    even when the UNet computes in bf16: the high-frequency bands reach
+    ~2.7e3 rad, where bf16's quantization step (~8-16 rad) destroys the
+    noise-level conditioning (review r3 finding). The bf16 embedding must
+    match the f32 one to bf16 rounding of the OUTPUT, not of the angle."""
+    from sonar_tpu.models.unet import _sigma_embedding
+
+    sigma = jnp.asarray([14.6, 1.0, 0.03], jnp.float32)
+    emb32 = _sigma_embedding(sigma, 320, jnp.float32)
+    emb16 = _sigma_embedding(sigma, 320, jnp.bfloat16)
+    assert emb16.dtype == jnp.bfloat16
+    # bf16 rounding of a value in [-1,1] is <= 2^-8; angle-domain
+    # quantization would show errors up to O(1)
+    err = np.abs(np.asarray(emb16, np.float32) - np.asarray(emb32))
+    assert err.max() <= 2 ** -8 + 1e-6, err.max()
 
 
 def test_ema_update_tracks_params():

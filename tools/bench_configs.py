@@ -18,7 +18,6 @@ Usage: python tools/bench_configs.py            # run all, JSON line
 import json
 import os
 import pathlib
-import subprocess
 import sys
 import time
 
@@ -27,7 +26,8 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 import jax
 import jax.numpy as jnp
 
-from bench import _SDXL_STEPS, _sdxl_setup, _time_pipeline, _timeit_slope
+from bench import (_SDXL_STEPS, _sdxl_setup, _time_pipeline, _timeit_slope,
+                   subprocess_float)
 
 
 def bench_config2_per_call_ms() -> float:
@@ -167,28 +167,15 @@ _SINGLE = {
 
 
 def _run_isolated(name: str) -> float | None:
-    """One metric per subprocess. Failures/timeouts return None instead of
-    raising: each config costs ~800s of uncacheable compile, so one dead
-    config (or a wedged tunnel) must not discard the completed rows."""
+    """One metric per subprocess (bench.subprocess_float). Failures/timeouts
+    return None instead of raising: each config costs ~800s of uncacheable
+    compile, so one dead config (or a wedged tunnel) must not discard the
+    completed rows."""
     env = dict(os.environ)
     env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/sonar_jax_cache")
-    try:
-        out = subprocess.run(
-            [sys.executable, __file__, "--single", name],
-            capture_output=True, text=True, timeout=2400, env=env)
-    except subprocess.TimeoutExpired:
-        print(f"# {name}: TIMEOUT after 2400s", file=sys.stderr, flush=True)
-        return None
-    if out.returncode != 0:
-        print(f"# {name}: FAILED rc={out.returncode}\n{out.stderr[-2000:]}",
-              file=sys.stderr, flush=True)
-        return None
-    try:
-        return float(out.stdout.strip().splitlines()[-1])
-    except (IndexError, ValueError):
-        print(f"# {name}: unparseable stdout {out.stdout[-200:]!r}",
-              file=sys.stderr, flush=True)
-        return None
+    return subprocess_float(
+        [sys.executable, __file__, "--single", name],
+        env=env, timeout=2400, label=name)
 
 
 def main():

@@ -102,24 +102,14 @@ def main_sdxl(nt="pyramid_old"):
     """SDXL-scale variant: 664M-param UNet at 4x128x128, euler-ancestral
     with CFG, per model call — the production-scale e2e number. Each
     variant runs in its own subprocess (process-contamination rule)."""
-    import subprocess
+    from bench import subprocess_float
 
-    times = {}
-    for flag in ("0", "1"):
-        try:
-            proc = subprocess.run(
-                [sys.executable, __file__, "--sdxl-single", flag, nt],
-                capture_output=True, text=True, timeout=2400)
-        except subprocess.TimeoutExpired:
-            print(f"flag={flag}: TIMEOUT (tunnel down or compile > 40min)")
-            continue
-        if proc.returncode != 0:
-            print(f"flag={flag}: FAILED\n{proc.stderr[-2000:]}")
-            continue
-        try:
-            times[flag] = float(proc.stdout.strip().splitlines()[-1])
-        except (IndexError, ValueError):
-            print(f"flag={flag}: unparseable output {proc.stdout[-200:]!r}")
+    times = {
+        flag: subprocess_float(
+            [sys.executable, __file__, "--sdxl-single", flag, nt],
+            timeout=2400, label=f"sdxl flag={flag}")
+        for flag in ("0", "1")
+    }
     t_x, t_f = times.get("0"), times.get("1")
     if t_x is not None:
         print(f"SDXL e2e, noise={nt}: xla {t_x:.3f} ms/call")
