@@ -184,19 +184,29 @@ class SonarPipeline:
                 os.environ["SONAR_TPU_FUSED_PYRAMID"] = old
 
     def jit(self) -> Callable:
-        """A jitted ``fn(x0, sigmas) -> samples`` runner. The schedule is
-        treated as STATIC (it feeds host-side WCFG step windows), so the
-        runner compiles once per unique (schedule, x0 shape) and reuses
-        the compiled program after."""
+        """A jitted ``fn(x0, sigmas, *, extra_args=None, **static_kwargs) ->
+        samples`` runner. The schedule is treated as STATIC (it feeds
+        host-side WCFG step windows), so the runner compiles once per unique
+        (schedule, static kwargs, x0 shape) and reuses the compiled program.
+
+        ``extra_args`` (a pytree of arrays, e.g. ``{"params": params}``) is a
+        jit ARGUMENT: model weights passed this way are donated per call
+        instead of baked into the program as constants — at SDXL scale a
+        closed-over 2.66GB params tree breaks the remote-compile transport
+        (CLAUDE.md) and forces a recompile per weight update. Any other
+        keyword arguments must be hashable and are treated as static."""
         from functools import lru_cache
 
         @lru_cache(maxsize=16)
-        def _compiled(sig_key):
+        def _compiled(sig_key, static_items):
             sig = np.asarray(sig_key, np.float32)
-            return jax.jit(lambda x0: self(x0, sig))
+            static = dict(static_items)
+            return jax.jit(
+                lambda x0, ea: self(x0, sig, extra_args=ea, **static))
 
-        def run(x0, sigmas):
+        def run(x0, sigmas, *, extra_args=None, **static_kwargs):
             sig_key = tuple(float(s) for s in np.asarray(sigmas).ravel())
-            return _compiled(sig_key)(x0)
+            return _compiled(sig_key, tuple(sorted(static_kwargs.items())))(
+                x0, {} if extra_args is None else extra_args)
 
         return run

@@ -387,6 +387,29 @@ def test_pipeline_jit_runner():
     np.testing.assert_array_equal(np.asarray(out), np.asarray(out2))
 
 
+def test_pipeline_jit_runner_extra_args_not_baked():
+    """pipe.jit() must treat extra_args as a jit ARGUMENT: new weights
+    through the same compiled program give new outputs (a baked-constant
+    params tree would return the p1 result for p2 — and at SDXL scale a
+    2.66GB constant breaks the remote-compile transport)."""
+    from sonar_tpu.api import SonarPipeline
+
+    def model(x, s, *, w, **kw):
+        return x * w / (1.0 + s.reshape((-1, 1, 1, 1)) ** 2)
+
+    pipe = SonarPipeline(model=model, sampler="sonar_euler", seed=0)
+    sig = np.concatenate([np.geomspace(14.6, 0.03, 4), [0.0]]).astype(np.float32)
+    x0 = jnp.asarray(np.random.default_rng(1)
+                     .standard_normal((1, 4, 8, 8)).astype(np.float32)) * 14.6
+    run = pipe.jit()
+    out1 = run(x0, sig, extra_args={"w": jnp.asarray(1.0)})
+    out2 = run(x0, sig, extra_args={"w": jnp.asarray(0.5)})
+    assert not np.allclose(np.asarray(out1), np.asarray(out2))
+    # same weights again → same (cached) result
+    out3 = run(x0, sig, extra_args={"w": jnp.asarray(1.0)})
+    np.testing.assert_array_equal(np.asarray(out1), np.asarray(out3))
+
+
 def test_pipeline_bf16_latent_keeps_f32_schedule():
     from sonar_tpu.api import SonarPipeline
 
