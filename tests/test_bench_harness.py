@@ -140,3 +140,33 @@ def test_emit_survives_dead_tunnel():
     assert lines, r.stdout[-500:]
     payload = json.loads(lines[-1])
     assert payload["extra"]["backend"] in ("uninitialized", "unknown")
+
+
+def test_sdxl_metric_functions_execute_at_tiny_scale():
+    """The SDXL/proxy metric functions normally execute only inside
+    full-scale bench children — a broken construction there surfaces as
+    silent nulls in the driver artifact. Exercise all four (pair/batched
+    × euler/config3) at toy scale so refactors fail HERE instead."""
+    sys.path.insert(0, _REPO)
+    import bench
+    from sonar_tpu.models import UNetConfig
+
+    tiny = UNetConfig(model_channels=16, channel_mult=(1, 2),
+                      num_res_blocks=1, attention_levels=(),
+                      num_heads=2, norm_groups=4)
+    shape = (1, 4, 32, 32)
+    vals = [
+        bench._euler_per_call_ms(bench._sdxl_setup(tiny, shape)),
+        bench._euler_batched_per_call_ms(bench._sdxl_batched_setup(tiny, shape)),
+        bench._config3_per_call_ms(bench._sdxl_setup(tiny, shape)),
+        bench._config3_batched_per_call_ms(bench._sdxl_batched_setup(tiny, shape)),
+    ]
+    assert all(v > 0 for v in vals), vals
+    # pair and batched sides must sample the IDENTICAL schedule/x0 so the
+    # overhead ratios stay cross-comparable
+    _, _, _, sig_a, x_a, _ = bench._sdxl_setup(tiny, shape)
+    _, _, sig_b, x_b, _ = bench._sdxl_batched_setup(tiny, shape)
+    import numpy as np
+
+    np.testing.assert_array_equal(np.asarray(sig_a), np.asarray(sig_b))
+    np.testing.assert_array_equal(np.asarray(x_a), np.asarray(x_b))
