@@ -148,10 +148,13 @@ class SonarPipeline:
         sigmas = jnp.asarray(sigmas, jnp.float32)
         try:
             host_sigmas = np.asarray(sigmas)
-        except Exception:
+        except (jax.errors.TracerArrayConversionError,
+                jax.errors.ConcretizationTypeError):
             # traced sigmas (caller's own jit): WCFG's host-side step
             # windows are unavailable — sigma/sampling schedule modes
-            # still work; prefer pipe.jit(), which keeps them concrete
+            # still work; prefer pipe.jit(), which keeps them concrete.
+            # Only tracer errors are caught: a real device-readback
+            # failure must stay loud, not silently drop WCFG windows
             host_sigmas = None
         denoiser = self._denoiser(host_sigmas)
         call_kwargs: dict[str, Any] = dict(kwargs)
@@ -194,15 +197,23 @@ class SonarPipeline:
         instead of baked into the program as constants — at SDXL scale a
         closed-over 2.66GB params tree breaks the remote-compile transport
         (CLAUDE.md) and forces a recompile per weight update. Any other
-        keyword arguments must be hashable and are treated as static."""
-        from functools import lru_cache
+        keyword arguments must be hashable and are treated as static.
 
-        @lru_cache(maxsize=16)
+        The compiled-program cache lives on the PIPELINE instance, so both
+        ``run = pipe.jit(); run(x0, s)`` and the one-liner
+        ``pipe.jit()(x0, s)`` reuse programs across calls."""
+        cache = getattr(self, "_jit_cache", None)
+        if cache is None:
+            cache = self._jit_cache = {}
+
         def _compiled(sig_key, static_items):
-            sig = np.asarray(sig_key, np.float32)
-            static = dict(static_items)
-            return jax.jit(
-                lambda x0, ea: self(x0, sig, extra_args=ea, **static))
+            entry = cache.get((sig_key, static_items))
+            if entry is None:
+                sig = np.asarray(sig_key, np.float32)
+                static = dict(static_items)
+                entry = cache[(sig_key, static_items)] = jax.jit(
+                    lambda x0, ea: self(x0, sig, extra_args=ea, **static))
+            return entry
 
         def run(x0, sigmas, *, extra_args=None, **static_kwargs):
             sig_key = tuple(float(s) for s in np.asarray(sigmas).ravel())

@@ -151,12 +151,22 @@ class WCFGPercentages:
                     start_sigma - end_sigma
                 )
             steps = len(sigmas) - 1
-            if steps > 1:
+            if steps > 1 and np.any(np.round(sigmas[:-1], 4) <= 0):
+                # non-positive INTERIOR sigma (e.g. a duplicated trailing 0
+                # from some ComfyUI graphs): the step is undeterminable for
+                # EVERY sigma — host-decidable, so leave pct_steps None and
+                # let pct_from_schedmode raise the reference's
+                # "not available" RuntimeError (py/utils.py:682-721 returns
+                # None → py/wavelet_cfg.py:123 raises) instead of feeding
+                # NaN through the scheduled scales. (Raise happens at trace
+                # time for ANY steps-mode rule, vs the reference's lazy
+                # raise on the matched rule only — stricter, never silent.)
+                pass
+            elif steps > 1:
                 step, valid = step_from_sigmas_traced(
                     sigma_c.astype(jnp.float32),
                     jnp.asarray(sigmas, jnp.float32))
-                # the reference errors when the step cannot be determined
-                # and a steps schedule mode is requested; traced equivalent:
+                # residual traced-only invalidity (rounding edge cases):
                 # an undetermined step becomes NaN, which surfaces in the
                 # scheduled values instead of silently feeding garbage
                 step = jnp.where(valid, step.astype(jnp.float32), jnp.nan)

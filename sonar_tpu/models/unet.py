@@ -308,18 +308,29 @@ def make_denoiser(
     cfg: UNetConfig = UNetConfig(),
     *,
     block_patches: dict[str, list[Callable]] | None = None,
+    params_kwarg: str = "params",
 ) -> Callable:
     """Wrap the eps-prediction UNet into the sampler's denoiser protocol
     ``model(x, sigma_batch) -> denoised`` with EDM-style input scaling
-    (c_in = 1/sqrt(1+sigma^2), denoised = x - sigma * eps_hat)."""
+    (c_in = 1/sqrt(1+sigma^2), denoised = x - sigma * eps_hat).
 
-    def model(x, sigma, params=params, **_kw):
+    ``params_kwarg`` names the call-time weight-override argument
+    (``extra_args={"params": p}`` by default). CAUTION: extra_args reaches
+    EVERY denoiser in a CFG pair, so two denoisers built from DIFFERENT
+    weight trees must use distinct names (e.g. ``params_kwarg="uncond_params"``
+    for the uncond side) — a shared "params" override would silently feed
+    both sides the same weights and collapse CFG to a no-op."""
+
+    def model(x, sigma, **kw):
         # accept params as a call-time argument (extra_args={"params": p})
         # so jit treats the tree as an input instead of baking multi-GB
         # constants — the SDXL remote-compile landmine (CLAUDE.md)
+        p = kw.get(params_kwarg)
+        if p is None:
+            p = params
         sb = jnp.broadcast_to(jnp.asarray(sigma, x.dtype).reshape(-1), (x.shape[0],))
         c_in = (1.0 / jnp.sqrt(1.0 + sb**2)).reshape(-1, 1, 1, 1)
-        eps = unet_apply(params, x * c_in, sb, cfg, block_patches=block_patches)
+        eps = unet_apply(p, x * c_in, sb, cfg, block_patches=block_patches)
         return x - sb.reshape(-1, 1, 1, 1) * eps
 
     return model

@@ -9,15 +9,19 @@ from .ancestral import to_d
 from .momentum import GuidanceConfig, GuidanceType, SonarConfig
 
 
-def prepare_ref_latent(latent):
+def prepare_ref_latent(latent, *, strict_reference_compat: bool = False):
     """Per-(H,W) standardize (py/sonar.py:335-341). Zero-std guard: a
     constant guide latent (e.g. zeros) divides by 0 in the reference and
-    NaNs the whole trajectory; here it degrades to the mean-subtracted
-    latent (same convention as core.normalize.scale_noise)."""
+    NaNs the whole trajectory; by default it degrades to the
+    mean-subtracted latent (same convention as core.normalize.scale_noise).
+    ``strict_reference_compat=True`` reproduces the reference's raw
+    division (NaN trajectory for constant guides)."""
     if latent is None:
         return None
     avg = jnp.mean(latent, axis=(-2, -1), keepdims=True)
     std = tstd(latent, axis=(-2, -1), keepdims=True)
+    if strict_reference_compat:
+        return (latent - avg) / std
     return (latent - avg) / jnp.where(std == 0, 1.0, std)
 
 

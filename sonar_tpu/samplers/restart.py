@@ -141,6 +141,15 @@ def sample_restart(
         idxs = [i for i, s in enumerate(sched)
                 if s <= sg.t_min and start < i < len(sched) - 1]
         if not idxs:
+            # the user configured this segment explicitly — a silent no-op
+            # would masquerade as a plain run, so say why it was skipped
+            import warnings
+
+            warnings.warn(
+                f"restart segment (t_min={sg.t_min}, t_max={sg.t_max}) never "
+                f"fires: no schedule sigma in ({sched[start]:.4g}, "
+                f"{sched[-1]:.4g}] crosses below t_min before the final "
+                "entry; segment skipped", stacklevel=2)
             continue
         stop = idxs[0]
         seg_sched = np.asarray(sched[start : stop + 1], np.float32)

@@ -514,3 +514,23 @@ def test_pipeline_model_batched_excludes_model():
 
     with pytest.raises(ValueError, match="mutually exclusive"):
         SonarPipeline(model=lambda x, s: x, model_batched=lambda x, s: x)
+
+
+def test_pipeline_jit_cache_lives_on_instance():
+    """pipe.jit()(x0, s) in a loop must reuse compiled programs: the cache
+    is keyed on the pipeline instance, not on each jit() invocation
+    (review r3: a fresh per-invocation cache recompiled every call — at
+    SDXL scale ~795s of uncacheable tunnel compile per call)."""
+    from sonar_tpu.api import SonarPipeline
+
+    def model(x, s, **kw):
+        return x / (1.0 + s.reshape((-1, 1, 1, 1)) ** 2)
+
+    pipe = SonarPipeline(model=model, sampler="sonar_euler", seed=0)
+    sig = np.concatenate([np.geomspace(14.6, 0.03, 4), [0.0]]).astype(np.float32)
+    x0 = jnp.asarray(np.random.default_rng(2)
+                     .standard_normal((1, 4, 8, 8)).astype(np.float32)) * 14.6
+    out1 = pipe.jit()(x0, sig)      # fresh runner each time — the
+    out2 = pipe.jit()(x0, sig)      # compiled program must still be shared
+    np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
+    assert len(pipe._jit_cache) == 1, pipe._jit_cache.keys()

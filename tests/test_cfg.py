@@ -343,3 +343,60 @@ def test_make_denoiser_accepts_params_argument():
     out_default = model(x, jnp.asarray([2.0]))
     out_p2 = model(x, jnp.asarray([2.0]), params=p2)
     assert not np.allclose(np.asarray(out_default), np.asarray(out_p2))
+
+
+def test_make_denoiser_distinct_params_kwargs():
+    """A CFG pair built from DIFFERENT weight trees must be able to use
+    distinct call-time override names: extra_args reaches both denoisers,
+    so a shared 'params' key would feed both sides the same weights and
+    silently collapse CFG (review r3)."""
+    from sonar_tpu.models.unet import UNetConfig, init_unet_params, make_denoiser
+
+    cfg = UNetConfig(model_channels=8, channel_mult=(1, 2), num_res_blocks=1)
+    p_c = init_unet_params(jax.random.key(0), cfg)
+    p_u = init_unet_params(jax.random.key(1), cfg)
+    cond = make_denoiser(p_c, cfg, params_kwarg="cond_params")
+    uncond = make_denoiser(p_u, cfg, params_kwarg="uncond_params")
+    x = jnp.asarray(np.random.default_rng(0)
+                    .standard_normal((1, 4, 16, 16)).astype(np.float32))
+    kw = dict(cond_params=p_c, uncond_params=p_u)
+    out_c = cond(x, jnp.asarray([2.0]), **kw)
+    out_u = uncond(x, jnp.asarray([2.0]), **kw)
+    assert not np.allclose(np.asarray(out_c), np.asarray(out_u)), \
+        "distinct weight trees must produce distinct cond/uncond outputs"
+    # each side ignores the other's key and keeps its own weights
+    np.testing.assert_array_equal(
+        np.asarray(cond(x, jnp.asarray([2.0]), cond_params=p_c)),
+        np.asarray(cond(x, jnp.asarray([2.0]), **kw)))
+
+
+def test_wcfg_steps_mode_raises_on_nonpositive_interior_sigma():
+    """A schedule with a non-positive INTERIOR sigma makes the step
+    undeterminable for every sigma. The reference raises ('Step percentage
+    not available', py/wavelet_cfg.py:123); we must raise too, not feed
+    NaN through the scheduled scales (review r3)."""
+    from sonar_tpu.cfg.wavelet_cfg import WCFGPercentages
+
+    ms = DiscreteSampling()
+    bad = np.asarray([7.0, 3.0, 0.0, 0.0], np.float64)
+    pcts = WCFGPercentages.build(ms=ms, start_sigma=8.0, end_sigma=0.1,
+                                 sigma=3.0, sigmas=bad)
+    assert pcts.pct_steps is None
+    with pytest.raises(RuntimeError, match="not available"):
+        pcts.pct_from_schedmode("steps")
+    # sampling/sigmas modes remain available for the same schedule
+    assert pcts.pct_from_schedmode("sampling") is not None
+    assert pcts.pct_from_schedmode("sigmas") is not None
+
+
+def test_prepare_ref_latent_strict_compat_flag():
+    """Default: zero-std guide degrades to mean-subtraction (finite);
+    strict_reference_compat=True reproduces the reference's divide-by-zero
+    NaN for constant guides."""
+    from sonar_tpu.samplers.guidance import prepare_ref_latent
+
+    const = jnp.ones((1, 4, 8, 8))
+    safe = prepare_ref_latent(const)
+    assert bool(jnp.isfinite(safe).all())
+    strict = prepare_ref_latent(const, strict_reference_compat=True)
+    assert not bool(jnp.isfinite(strict).all())

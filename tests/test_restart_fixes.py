@@ -123,3 +123,23 @@ def test_t_min_on_trailing_zero_keeps_final_step():
     # one uninterrupted run ending at 0
     assert len(runs) == 1
     assert float(runs[0][-1]) == 0.0
+
+
+def test_never_firing_segment_warns():
+    """A user-configured segment that never fires must WARN, not silently
+    behave like a plain run (review r3: silent no-op of an explicit
+    feature)."""
+    import warnings
+
+    sigmas = np.asarray([14.6, 7.0, 3.0, 1.0, 0.3, 0.03, 0.0], np.float32)
+    runs = []
+    x = jnp.zeros((1, 4, 8, 8))
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        sample_restart(_model, x, sigmas,
+                       inner_sampler=_recording_inner(runs),
+                       segments=[RestartSegment(t_min=0.01, t_max=2.0,
+                                                n=2, k=2)],
+                       seed=0)
+    assert any("never" in str(w.message) and "restart segment" in
+               str(w.message) for w in rec), [str(w.message) for w in rec]
