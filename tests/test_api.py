@@ -534,3 +534,49 @@ def test_pipeline_jit_cache_lives_on_instance():
     out2 = pipe.jit()(x0, sig)      # compiled program must still be shared
     np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
     assert len(pipe._jit_cache) == 1, pipe._jit_cache.keys()
+
+
+def test_batched_cfg_halves_traced_program():
+    """Pin the batched-CFG program-size claim (ANALYSIS §13): ONE doubled-
+    batch denoiser call must produce well under 0.7x the pair path's
+    StableHLO op count — the lever that cuts the uncacheable SDXL remote
+    compile. Lowering is backend-independent, so this pins it in CI."""
+    from sonar_tpu.api import SonarPipeline
+    from sonar_tpu.models import UNetConfig, init_unet_params, unet_apply
+
+    cfg = UNetConfig(model_channels=16, channel_mult=(1, 2), num_res_blocks=1,
+                     attention_levels=(1,), num_heads=4, norm_groups=4)
+    params = init_unet_params(jax.random.key(0), cfg)
+
+    def cond(x, sb, params=None, **kw):
+        s = jnp.asarray(sb, x.dtype).reshape(-1, 1, 1, 1)
+        return x - s * unet_apply(params, x / jnp.sqrt(1 + s * s), sb, cfg)
+
+    def uncond(x, sb, params=None, **kw):
+        s = jnp.asarray(sb, x.dtype).reshape(-1, 1, 1, 1)
+        return x - s * unet_apply(params, x * 0.97 / jnp.sqrt(1 + s * s), sb, cfg)
+
+    def batched(x2, sb2, params=None, **kw):
+        n = x2.shape[0]
+        sb = jnp.broadcast_to(jnp.asarray(sb2, x2.dtype).reshape(-1), (n,))
+        s = sb.reshape(-1, 1, 1, 1)
+        half = jnp.arange(n).reshape(-1, 1, 1, 1) >= (n // 2)
+        scale = jnp.where(half, 0.97, 1.0)
+        return x2 - s * unet_apply(params, x2 * scale / jnp.sqrt(1 + s * s),
+                                   sb, cfg)
+
+    common = dict(sampler="sonar_euler", cfg_scale=6.0,
+                  model_sampling=DiscreteSampling(), seed=3)
+    pair = SonarPipeline(model=cond, model_uncond=uncond, **common)
+    fast = SonarPipeline(model_batched=batched, **common)
+    sig = jnp.asarray([14.6, 5.0, 1.0, 0.0], jnp.float32)
+    x0 = jnp.zeros((1, 4, 16, 16), jnp.float32)
+
+    def ops(pipe):
+        lowered = jax.jit(
+            lambda v, p: pipe(v, sig, extra_args={"params": p})
+        ).lower(x0, params)
+        return lowered.as_text().count("\n")
+
+    n_pair, n_fast = ops(pair), ops(fast)
+    assert n_fast < 0.7 * n_pair, (n_fast, n_pair)
