@@ -141,6 +141,20 @@ class SonarPipeline:
 
         return guided
 
+    def _sampler_params(self) -> frozenset | None:
+        """Keyword names the sampler accepts, or None for "everything"
+        (a ``**kwargs`` signature or an uninspectable callable)."""
+        import inspect
+
+        try:
+            sig = inspect.signature(self.sampler)
+        except (TypeError, ValueError):
+            return None
+        if any(p.kind is inspect.Parameter.VAR_KEYWORD
+               for p in sig.parameters.values()):
+            return None
+        return frozenset(sig.parameters)
+
     def __call__(self, x0: jax.Array, sigmas, **kwargs) -> jax.Array:
         # the schedule stays float32 regardless of latent dtype: a bf16
         # latent would otherwise degrade the sigmas and break WCFG's
@@ -158,16 +172,21 @@ class SonarPipeline:
             host_sigmas = None
         denoiser = self._denoiser(host_sigmas)
         call_kwargs: dict[str, Any] = dict(kwargs)
-        if self.sonar_config is not None:
-            call_kwargs.setdefault("sonar_config", self.sonar_config)
-        if self.noise is not None:
-            call_kwargs.setdefault("noise_item", self.noise)
-        if self.eta is not None:
-            call_kwargs.setdefault("eta", self.eta)
-        if self.s_noise is not None:
-            call_kwargs.setdefault("s_noise", self.s_noise)
-        if self.seed is not None:
-            call_kwargs.setdefault("seed", self.seed)
+        # pipeline-level defaults are forwarded only when the sampler
+        # accepts them: the non-ancestral samplers (sonar_euler) take no
+        # noise_item/eta/s_noise — in the reference those inputs simply
+        # don't exist on the node (sonar.py SamplerNodeSonarEuler), so a
+        # pipeline configured with noise + a non-ancestral sampler ignores
+        # the noise rather than TypeError-ing deep inside the sampler.
+        # Caller-passed kwargs stay strict (an explicit bad kwarg is loud).
+        accepts = self._sampler_params()
+        for name, value in (("sonar_config", self.sonar_config),
+                            ("noise_item", self.noise),
+                            ("eta", self.eta),
+                            ("s_noise", self.s_noise),
+                            ("seed", self.seed)):
+            if value is not None and (accepts is None or name in accepts):
+                call_kwargs.setdefault(name, value)
         if self.fused_noise is None:
             return self.sampler(denoiser, x0, sigmas, **call_kwargs)
         # the fused-kernel flag is read at TRACE time by the pyramid

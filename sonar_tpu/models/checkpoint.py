@@ -50,7 +50,8 @@ def save_checkpoint(path: str | os.PathLike, state: Any, *,
         pass
 
 
-def restore_checkpoint(path: str | os.PathLike, *, target: Any = None) -> Any:
+def restore_checkpoint(path: str | os.PathLike, *, target: Any = None,
+                       partial: bool = False) -> Any:
     """Load a checkpoint written by :func:`save_checkpoint`.
 
     Without ``target``, the original tree structure (including custom nodes
@@ -61,7 +62,10 @@ def restore_checkpoint(path: str | os.PathLike, *, target: Any = None) -> Any:
     ``target`` (optional) is a pytree of arrays or
     ``jax.ShapeDtypeStruct(shape, dtype, sharding=NamedSharding(...))``
     leaves: when given, restored leaves are created with the target's
-    shardings (the multi-chip restore path — no single-host gather)."""
+    shardings (the multi-chip restore path — no single-host gather).
+    ``partial=True`` lets ``target`` name a SUBTREE of the checkpoint
+    (e.g. only ``{"params": ...}`` out of a full train state) — only the
+    named leaves are read and restored."""
     import orbax.checkpoint as ocp
 
     path = os.fspath(os.path.abspath(path))
@@ -89,5 +93,6 @@ def restore_checkpoint(path: str | os.PathLike, *, target: Any = None) -> Any:
             args=ocp.args.PyTreeRestore(
                 item=as_abstract,
                 restore_args=ocp.checkpoint_utils.construct_restore_args(
-                    as_abstract)),
+                    as_abstract),
+                partial_restore=partial),
         )

@@ -580,3 +580,33 @@ def test_batched_cfg_halves_traced_program():
 
     n_pair, n_fast = ops(pair), ops(fast)
     assert n_fast < 0.7 * n_pair, (n_fast, n_pair)
+
+
+def test_pipeline_noise_with_non_ancestral_sampler_is_ignored():
+    """Pipeline-level noise/eta/s_noise defaults must only be forwarded to
+    samplers that accept them: in the reference, SamplerNodeSonarEuler has
+    no noise input at all (sonar.py), so a pipeline configured with a noise
+    item + the non-ancestral euler samples noiselessly instead of crashing
+    with a TypeError inside the sampler. Explicit caller kwargs stay loud."""
+    import pytest
+
+    from sonar_tpu.api import SonarPipeline
+    from sonar_tpu.noise import get_noise_item
+
+    def model(x, s, **kw):
+        return x / (1.0 + s.reshape((-1, 1, 1, 1)) ** 2)
+
+    sig = np.concatenate([np.geomspace(14.6, 0.03, 6), [0.0]]).astype(np.float32)
+    x0 = jnp.asarray(np.random.default_rng(1)
+                     .standard_normal((1, 4, 16, 16)).astype(np.float32)) * 14.6
+
+    noisy = SonarPipeline(model=model, sampler="sonar_euler",
+                          noise=get_noise_item("pyramid"), eta=0.7,
+                          s_noise=1.1, seed=3)
+    plain = SonarPipeline(model=model, sampler="sonar_euler", seed=3)
+    np.testing.assert_array_equal(np.asarray(noisy(x0, sig)),
+                                  np.asarray(plain(x0, sig)))
+
+    # an explicit bad kwarg from the caller still raises
+    with pytest.raises(TypeError):
+        plain(x0, sig, noise_item=get_noise_item("gaussian"))

@@ -152,6 +152,25 @@ def test_checkpoint_roundtrip(tmp_path):
                     jax.tree_util.tree_leaves(restored_sharded)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
+    # FSDP-layout restore: land the params directly in the dp-sharded
+    # layout (the multi-chip resume path — no replicated intermediate)
+    from sonar_tpu.parallel import unet_param_shardings
+
+    fsdp_sh = unet_param_shardings(params, mesh, fsdp=True)
+    fsdp_target = jax.tree_util.tree_map(
+        lambda leaf, s: jax.ShapeDtypeStruct(jnp.shape(leaf),
+                                             jnp.asarray(leaf).dtype,
+                                             sharding=s),
+        params, fsdp_sh)
+    restored_fsdp = restore_checkpoint(path, target={"params": fsdp_target},
+                                       partial=True)
+    got_specs = {str(leaf.sharding.spec) for leaf in
+                 jax.tree_util.tree_leaves(restored_fsdp["params"])}
+    assert any("dp" in s for s in got_specs), got_specs
+    for a, b in zip(jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(restored_fsdp["params"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
 
 def test_mixed_precision_training():
     """compute_dtype=bf16: master weights and gradients stay float32, the
