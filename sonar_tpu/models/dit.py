@@ -1,0 +1,370 @@
+"""Diffusion-Transformer (DiT) denoiser — the modern model family the
+reference's samplers run against in ComfyUI (SD3/Flux-style latent
+transformers; the reference itself is model-agnostic and patches whatever
+the host provides, see /root/reference/py/sonar.py model wrapping).
+
+TPU-first design choices:
+
+- **Stacked homogeneous blocks + ``lax.scan``**: every transformer block's
+  params carry a leading ``depth`` axis, so the whole stack compiles as ONE
+  scanned program — compile time is O(1) in depth (the SDXL-scale lesson:
+  the tunnel's remote compile is the bottleneck, not FLOPs).
+- **f32 conditioning angles**: the sigma Fourier embedding computes its
+  angles in float32 regardless of compute dtype (same measured bf16
+  quantization failure as models/unet.py:_sigma_embedding).
+- **f32 softmax**: attention logits/softmax in float32 under bf16 compute
+  (bf16 logits lose ~2 decimal digits exactly where softmax is sharpest).
+- **Pipeline parallelism**: the stacked-block layout reshapes to
+  ``(stages, depth/stages, ...)`` and shards its leading axis over a
+  ``pp`` mesh axis; :func:`dit_pp_apply` runs a GPipe microbatch schedule
+  with ``shard_map`` + ``lax.ppermute`` (activations ride ICI stage to
+  stage), composing with ``dp`` batch sharding. Equal to the
+  single-device scan up to fusion-order ulps (tests/test_dit.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import partial
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+
+@dataclasses.dataclass(frozen=True)
+class DiTConfig:
+    in_channels: int = 4
+    patch_size: int = 2
+    hidden: int = 256
+    depth: int = 8
+    num_heads: int = 8
+    mlp_ratio: int = 4
+    dtype: Any = jnp.float32
+
+    @property
+    def patch_dim(self) -> int:
+        return self.patch_size * self.patch_size * self.in_channels
+
+
+# ---------------------------------------------------------------------------
+# Init. Block params are STACKED: every leaf has a leading ``depth`` axis.
+# ---------------------------------------------------------------------------
+
+
+def _dense_init(key, din, dout, dtype, scale=1.0):
+    std = scale * math.sqrt(1.0 / din)
+    return {
+        "w": jax.random.normal(key, (din, dout), dtype) * std,
+        "b": jnp.zeros((dout,), dtype),
+    }
+
+
+def _block_init(key, cfg: DiTConfig):
+    d, dt = cfg.hidden, cfg.dtype
+    k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+    return {
+        # adaLN modulation: emb -> (shift/scale/gate) x (attn, mlp).
+        # Small-random weights + zero bias: near-identity blocks at init
+        # (DiT's adaLN-zero spirit) while keeping the compute path
+        # non-degenerate for numerics tests.
+        "ada": _dense_init(k1, d, 6 * d, dt, scale=1e-2),
+        "qkv": _dense_init(k2, d, 3 * d, dt),
+        "attn_out": _dense_init(k3, d, d, dt, scale=1e-2),
+        "mlp_in": _dense_init(k4, d, cfg.mlp_ratio * d, dt),
+        "mlp_out": _dense_init(k5, cfg.mlp_ratio * d, d, dt, scale=1e-2),
+    }
+
+
+def init_dit_params(key: jax.Array, cfg: DiTConfig = DiTConfig()) -> dict:
+    dt = cfg.dtype
+    keys = jax.random.split(key, cfg.depth + 4)
+    blocks = [_block_init(k, cfg) for k in keys[: cfg.depth]]
+    stacked = jax.tree_util.tree_map(lambda *ls: jnp.stack(ls), *blocks)
+    return {
+        "patch_embed": _dense_init(keys[-4], cfg.patch_dim, cfg.hidden, dt),
+        "sigma_mlp": {
+            "fc1": _dense_init(keys[-3], cfg.hidden, cfg.hidden, dt),
+            "fc2": _dense_init(keys[-2], cfg.hidden, cfg.hidden, dt),
+        },
+        "blocks": stacked,
+        "final": {
+            "ada": _dense_init(keys[-1], cfg.hidden, 2 * cfg.hidden, dt,
+                               scale=1e-2),
+            # DiT zero-inits the output head; we use a small scale so the
+            # untrained model still produces usable signal for tests
+            "out": _dense_init(jax.random.fold_in(keys[-1], 1),
+                               cfg.hidden, cfg.patch_dim, dt, scale=1e-2),
+        },
+    }
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+
+def _dense(p, x):
+    return x @ p["w"] + p["b"]
+
+
+def _sigma_embedding(sigma, ch, dtype):
+    """Fourier features of log-sigma; angles in f32 (unet.py:218 lesson)."""
+    half = ch // 2
+    logs = jnp.log(jnp.maximum(sigma, 1e-10)) / 4.0
+    freqs = jnp.exp(
+        jnp.arange(half, dtype=jnp.float32) * (-math.log(10000.0) / (half - 1)))
+    ang = logs[:, None].astype(jnp.float32) * freqs[None, :] * 1000.0
+    return jnp.concatenate([jnp.cos(ang), jnp.sin(ang)], axis=-1).astype(dtype)
+
+
+def _pos_embed(hp: int, wp: int, d: int, dtype):
+    """2D sin-cos positional embedding, built in f32 at trace time (static
+    shapes — XLA constant-folds it)."""
+    q = d // 4
+    omega = jnp.exp(jnp.arange(q, dtype=jnp.float32)
+                    * (-math.log(10000.0) / max(q - 1, 1)))
+    ys = jnp.arange(hp, dtype=jnp.float32)[:, None] * omega[None, :]
+    xs = jnp.arange(wp, dtype=jnp.float32)[:, None] * omega[None, :]
+    ye = jnp.concatenate([jnp.sin(ys), jnp.cos(ys)], -1)  # (hp, d/2)
+    xe = jnp.concatenate([jnp.sin(xs), jnp.cos(xs)], -1)  # (wp, d/2)
+    grid = jnp.concatenate(
+        [jnp.broadcast_to(ye[:, None, :], (hp, wp, 2 * q)),
+         jnp.broadcast_to(xe[None, :, :], (hp, wp, 2 * q))], -1)
+    emb = grid.reshape(hp * wp, 4 * q)
+    if 4 * q < d:  # hidden not divisible by 4: zero-pad the tail
+        emb = jnp.pad(emb, ((0, 0), (0, d - 4 * q)))
+    return emb.astype(dtype)
+
+
+def _layer_norm(x):
+    # affine-free LN: adaLN supplies shift/scale. Stats in f32 under bf16.
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    return ((xf - mu) * jax.lax.rsqrt(var + 1e-6)).astype(x.dtype)
+
+
+def _modulate(x, shift, scale):
+    return x * (1.0 + scale[:, None, :]) + shift[:, None, :]
+
+
+def _attention(p, x, num_heads):
+    b, n, d = x.shape
+    dh = d // num_heads
+    qkv = _dense(p["qkv"], x).reshape(b, n, 3, num_heads, dh)
+    q, k, v = (qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                        preferred_element_type=jnp.float32)
+    att = jax.nn.softmax(logits.astype(jnp.float32) / math.sqrt(dh), axis=-1)
+    out = jnp.einsum("bhqk,bhkd->bhqd", att.astype(x.dtype), v)
+    return _dense(p["attn_out"], out.transpose(0, 2, 1, 3).reshape(b, n, d))
+
+
+def _block(p, h, emb, num_heads):
+    """One adaLN DiT block. ``p`` leaves are UNSTACKED (no depth axis)."""
+    mod = _dense(p["ada"], jax.nn.silu(emb))  # (B, 6D)
+    sh_a, sc_a, g_a, sh_m, sc_m, g_m = jnp.split(mod, 6, axis=-1)
+    h = h + g_a[:, None, :] * _attention(
+        p, _modulate(_layer_norm(h), sh_a, sc_a), num_heads)
+    y = _modulate(_layer_norm(h), sh_m, sc_m)
+    y = _dense(p["mlp_out"], jax.nn.gelu(_dense(p["mlp_in"], y)))
+    return h + g_m[:, None, :] * y
+
+
+def _patchify(x, patch):
+    b, c, hh, ww = x.shape
+    hp, wp = hh // patch, ww // patch
+    x = x.reshape(b, c, hp, patch, wp, patch)
+    return x.transpose(0, 2, 4, 3, 5, 1).reshape(b, hp * wp,
+                                                 patch * patch * c), hp, wp
+
+
+def _unpatchify(tok, hp, wp, patch, c):
+    b = tok.shape[0]
+    x = tok.reshape(b, hp, wp, patch, patch, c)
+    return x.transpose(0, 5, 1, 3, 2, 4).reshape(b, c, hp * patch, wp * patch)
+
+
+def _embed(params, x, sigma, cfg: DiTConfig):
+    """Patchify + embed + conditioning. Shared by plain and pp forward."""
+    dt = cfg.dtype
+    tok, hp, wp = _patchify(x.astype(dt), cfg.patch_size)
+    h = _dense(params["patch_embed"], tok) + _pos_embed(hp, wp, cfg.hidden, dt)
+    emb = _dense(params["sigma_mlp"]["fc2"], jax.nn.silu(_dense(
+        params["sigma_mlp"]["fc1"],
+        _sigma_embedding(sigma, cfg.hidden, dt))))
+    return h, emb, hp, wp
+
+
+def _head(params, h, emb, hp, wp, cfg: DiTConfig, out_dtype):
+    mod = _dense(params["final"]["ada"], jax.nn.silu(emb))
+    shift, scale = jnp.split(mod, 2, axis=-1)
+    tok = _dense(params["final"]["out"], _modulate(_layer_norm(h), shift, scale))
+    return _unpatchify(tok, hp, wp, cfg.patch_size,
+                       cfg.in_channels).astype(out_dtype)
+
+
+def _scan_blocks(stacked, h, emb, num_heads):
+    def body(carry, bp):
+        return _block(bp, carry, emb, num_heads), None
+
+    h, _ = jax.lax.scan(body, h, stacked)
+    return h
+
+
+def dit_apply(params: dict, x: jax.Array, sigma: jax.Array,
+              cfg: DiTConfig = DiTConfig()) -> jax.Array:
+    """Predict epsilon for latent ``x`` (B,C,H,W) at noise level ``sigma``
+    (B,). Single-program scan over the stacked block params."""
+    h, emb, hp, wp = _embed(params, x, sigma, cfg)
+    h = _scan_blocks(params["blocks"], h, emb, cfg.num_heads)
+    return _head(params, h, emb, hp, wp, cfg, x.dtype)
+
+
+def make_dit_denoiser(params: dict, cfg: DiTConfig = DiTConfig(), *,
+                      params_kwarg: str = "params") -> Callable:
+    """EDM-wrapped denoiser protocol ``model(x, sigma_batch) -> denoised``
+    (same contract as models/unet.py:make_denoiser, weights as a call-time
+    jit argument via ``extra_args={"params": p}``)."""
+
+    def model(x, sigma, **kw):
+        p = kw.get(params_kwarg)
+        if p is None:
+            p = params
+        sb = jnp.broadcast_to(jnp.asarray(sigma, x.dtype).reshape(-1),
+                              (x.shape[0],))
+        c_in = (1.0 / jnp.sqrt(1.0 + sb**2)).reshape(-1, 1, 1, 1)
+        eps = dit_apply(p, x * c_in, sb, cfg)
+        return x - sb.reshape(-1, 1, 1, 1) * eps
+
+    return model
+
+
+# ---------------------------------------------------------------------------
+# Pipeline parallelism: GPipe microbatch schedule over a ``pp`` mesh axis.
+# ---------------------------------------------------------------------------
+
+
+def pp_stage_params(params: dict, n_stages: int) -> dict:
+    """Reshape the stacked block axis ``(depth, ...)`` into
+    ``(n_stages, depth/n_stages, ...)`` — shard the new leading axis over
+    the ``pp`` mesh axis (contiguous blocks per stage)."""
+    depth = jax.tree_util.tree_leaves(params["blocks"])[0].shape[0]
+    if depth % n_stages:
+        raise ValueError(f"depth {depth} not divisible by {n_stages} stages")
+    blocks = jax.tree_util.tree_map(
+        lambda l: l.reshape((n_stages, depth // n_stages) + l.shape[1:]),
+        params["blocks"])
+    return dict(params, blocks=blocks)
+
+
+def dit_param_shardings(params: dict, mesh, *, tp: str | None = "tp",
+                        pp: str | None = None) -> dict:
+    """NamedShardings: megatron-style tensor parallelism (qkv/mlp_in split
+    output features on ``tp``; attn_out/mlp_out split input features — the
+    pair needs ONE psum per block, inserted by XLA from the shardings) and,
+    for :func:`pp_stage_params` trees, the stage axis on ``pp``."""
+    from jax.sharding import NamedSharding
+
+    tp = tp if tp in mesh.axis_names else None
+    pp = pp if pp and pp in mesh.axis_names else None
+
+    def spec(path, leaf):
+        names = tuple(getattr(k, "key", getattr(k, "name", None))
+                      for k in path)
+        # stacked block leaves: (depth, ...) unstaged, (stages, depth/S, ...)
+        # after pp_stage_params — the stage axis rides pp
+        lead: tuple = () if "blocks" not in names else (
+            (pp, None) if pp else (None,))
+        body: tuple
+        if leaf.ndim - len(lead) != 2:  # bias (adaLN stays replicated)
+            body = (None,) * (leaf.ndim - len(lead))
+        elif any(n in ("qkv", "mlp_in") for n in names):
+            body = (None, tp)
+        elif any(n in ("attn_out", "mlp_out") for n in names):
+            body = (tp, None)
+        else:
+            body = (None, None)
+        return NamedSharding(mesh, P(*(lead + body)))
+
+    return jax.tree_util.tree_map_with_path(spec, params)
+
+
+def dit_pp_apply(params: dict, x: jax.Array, sigma: jax.Array,
+                 cfg: DiTConfig, mesh, *, microbatches: int,
+                 pp: str = "pp", dp: str | None = "dp") -> jax.Array:
+    """Pipeline-parallel forward: ``params["blocks"]`` must be staged
+    (:func:`pp_stage_params`) with its stage axis sharded over the ``pp``
+    mesh axis. Runs the classic GPipe schedule — ``microbatches + stages -
+    1`` ticks, activations handed stage-to-stage with ``lax.ppermute``
+    (ICI neighbour exchange) — inside ``shard_map``, composing with ``dp``
+    batch sharding. Matches :func:`dit_apply` on the unstaged tree up to
+    fusion-order ulps.
+
+    Differentiable: the transpose of ``ppermute`` is the reverse permute,
+    so ``jax.grad`` through this function IS 1F1B-style pipeline-parallel
+    backprop, with each stage's weight grads landing pp-sharded in place.
+    """
+    s = mesh.shape[pp]
+    dp_ok = dp if dp and dp in mesh.axis_names else None
+    h, emb, hp, wp = _embed(params, x, sigma, cfg)
+    b = h.shape[0]
+    mb = b // microbatches
+    if b % microbatches:
+        raise ValueError(f"batch {b} not divisible into {microbatches} "
+                         "microbatches")
+
+    lat = P(dp_ok) if dp_ok else P()
+
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(P(pp), lat, lat), out_specs=lat,
+             check_vma=False)
+    def run_pipe(stage_blocks, h_loc, emb_loc):
+        # stage_blocks leaves: (1, depth/S, ...) local view → drop stage axis
+        blocks = jax.tree_util.tree_map(lambda l: l[0], stage_blocks)
+        stage = jax.lax.axis_index(pp)
+        bl = h_loc.shape[0]
+        mb_loc = bl // microbatches
+        h_mb = h_loc.reshape(microbatches, mb_loc, *h_loc.shape[1:])
+        e_mb = emb_loc.reshape(microbatches, mb_loc, emb_loc.shape[-1])
+
+        fwd = [(i, i + 1) for i in range(s - 1)]
+
+        def tick(carry, t):
+            buf, out = carry
+            # stage 0 ingests microbatch t (clamped; extras are drain ticks)
+            src = jnp.clip(t, 0, microbatches - 1)
+            inp = jnp.where(stage == 0,
+                            jax.lax.dynamic_index_in_dim(h_mb, src, 0,
+                                                         keepdims=False),
+                            buf)
+            # every microbatch sees the SAME stage params but its OWN
+            # conditioning rows: the emb microbatch index lags the input
+            # by this stage's pipeline depth
+            esrc = jnp.clip(t - stage, 0, microbatches - 1)
+            emb_t = jax.lax.dynamic_index_in_dim(e_mb, esrc, 0,
+                                                 keepdims=False)
+            res = _scan_blocks(blocks, inp, emb_t, cfg.num_heads)
+            # last stage banks finished microbatch t-(s-1)
+            dst = jnp.clip(t - (s - 1), 0, microbatches - 1)
+            bank = (stage == s - 1) & (t >= s - 1)
+            cur = jax.lax.dynamic_index_in_dim(out, dst, 0, keepdims=False)
+            out = jax.lax.dynamic_update_index_in_dim(
+                out, jnp.where(bank, res, cur), dst, 0)
+            nxt = jax.lax.ppermute(res, pp, fwd)
+            return (nxt, out), None
+
+        buf0 = jnp.zeros_like(h_mb[0])
+        out0 = jnp.zeros_like(h_mb)
+        (_, out), _ = jax.lax.scan(tick, (buf0, out0),
+                                   jnp.arange(microbatches + s - 1))
+        # replicate the last stage's results across pp
+        out = jax.lax.psum(
+            jnp.where(stage == s - 1, out, jnp.zeros_like(out)), pp)
+        return out.reshape(bl, *h_loc.shape[1:])
+
+    h = run_pipe(params["blocks"], h, emb)
+    return _head(params, h, emb, hp, wp, cfg, x.dtype)

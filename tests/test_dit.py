@@ -1,0 +1,162 @@
+"""DiT denoiser: forward numerics, bf16 discipline, tensor-parallel
+shardings, and GPipe pipeline parallelism (bit-equality vs the
+single-program scan, grads through the pipeline)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from sonar_tpu.models import (
+    DiTConfig,
+    dit_apply,
+    dit_param_shardings,
+    dit_pp_apply,
+    init_dit_params,
+    make_dit_denoiser,
+    pp_stage_params,
+)
+from sonar_tpu.parallel import make_mesh
+
+CFG = DiTConfig(hidden=64, depth=4, num_heads=4, patch_size=2)
+
+
+@pytest.fixture(scope="module")
+def params():
+    return init_dit_params(jax.random.key(0), CFG)
+
+
+@pytest.fixture(scope="module")
+def x():
+    return jnp.asarray(
+        np.random.default_rng(0).standard_normal((4, 4, 16, 16)),
+        jnp.float32)
+
+
+def test_forward_shape_and_finite(params, x):
+    sigma = jnp.full((4,), 3.0)
+    eps = jax.jit(lambda p, v, s: dit_apply(p, v, s, CFG))(params, x, sigma)
+    assert eps.shape == x.shape and eps.dtype == x.dtype
+    assert bool(jnp.isfinite(eps).all())
+    # non-degenerate: output responds to sigma
+    eps2 = dit_apply(params, x, jnp.full((4,), 0.1), CFG)
+    assert not np.allclose(np.asarray(eps), np.asarray(eps2))
+
+
+def test_bf16_compute_keeps_input_dtype_and_f32_conditioning():
+    cfg = DiTConfig(hidden=64, depth=2, num_heads=4, dtype=jnp.bfloat16)
+    p = init_dit_params(jax.random.key(1), cfg)
+    xb = jnp.ones((2, 4, 8, 8), jnp.float32)
+    out = dit_apply(p, xb, jnp.full((2,), 5.0), cfg)
+    assert out.dtype == jnp.float32  # cast back to the latent dtype
+    assert bool(jnp.isfinite(out).all())
+    # the sigma embedding's angles must be f32 even under bf16 compute:
+    # two sigmas a bf16 angle-step apart still give distinct embeddings
+    from sonar_tpu.models.dit import _sigma_embedding
+
+    e1 = _sigma_embedding(jnp.asarray([10.0]), 64, jnp.bfloat16)
+    e2 = _sigma_embedding(jnp.asarray([10.05]), 64, jnp.bfloat16)
+    assert not np.array_equal(np.asarray(e1), np.asarray(e2))
+
+
+def test_denoiser_protocol(params, x):
+    model = make_dit_denoiser(params, CFG)
+    den = model(x, jnp.asarray(2.0))
+    assert den.shape == x.shape
+    # weights as a call-time argument (the jit-argument contract)
+    zeroed = jax.tree_util.tree_map(jnp.zeros_like, params)
+    den0 = model(x, jnp.asarray(2.0), params=zeroed)
+    assert not np.allclose(np.asarray(den), np.asarray(den0))
+
+
+def test_pp_stage_params_layout(params):
+    staged = pp_stage_params(params, 2)
+    lead = jax.tree_util.tree_leaves(staged["blocks"])[0].shape[:2]
+    assert lead == (2, CFG.depth // 2)
+    with pytest.raises(ValueError):
+        pp_stage_params(params, 3)
+
+
+def test_pp_forward_bit_equal_and_grads(params, x):
+    """The GPipe schedule must reproduce the single-program scan (up to
+    fusion-order ulps) and jax.grad through it is pipeline-parallel
+    backprop."""
+    mesh = make_mesh(4, axis_names=("pp",))
+    sigma = jnp.full((4,), 3.0)
+    ref = dit_apply(params, x, sigma, CFG)
+
+    staged = pp_stage_params(params, 4)
+    sh = dit_param_shardings(staged, mesh, tp=None, pp="pp")
+    staged = jax.tree_util.tree_map(jax.device_put, staged, sh)
+
+    out = jax.jit(lambda p, v, s: dit_pp_apply(
+        p, v, s, CFG, mesh, microbatches=2, dp=None))(staged, x, sigma)
+    # fusion-order ulps only: the shard_map program compiles differently
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
+
+    def loss(p, v, s):
+        return jnp.sum(dit_pp_apply(p, v, s, CFG, mesh,
+                                    microbatches=2, dp=None) ** 2)
+
+    def loss_ref(p, v, s):
+        return jnp.sum(dit_apply(p, v, s, CFG) ** 2)
+
+    g_pp = jax.jit(jax.grad(loss))(staged, x, sigma)
+    g_ref = jax.grad(loss_ref)(params, x, sigma)
+    g_ref_staged = pp_stage_params(g_ref, 4)
+    for a, b in zip(jax.tree_util.tree_leaves(g_pp),
+                    jax.tree_util.tree_leaves(g_ref_staged)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-5)
+
+
+def test_pp_composes_with_dp(params):
+    """dp×pp: batch sharded over dp while the block stack pipelines."""
+    mesh = make_mesh(8, axis_names=("dp", "pp"), mesh_shape=(2, 4))
+    xb = jnp.asarray(np.random.default_rng(1).standard_normal((8, 4, 16, 16)),
+                     jnp.float32)
+    sigma = jnp.full((8,), 1.5)
+    ref = dit_apply(params, xb, sigma, CFG)
+
+    staged = pp_stage_params(params, 4)
+    staged = jax.tree_util.tree_map(
+        jax.device_put, staged, dit_param_shardings(staged, mesh,
+                                                    tp=None, pp="pp"))
+    xs = jax.device_put(xb, NamedSharding(mesh, P("dp")))
+    out = jax.jit(lambda p, v, s: dit_pp_apply(
+        p, v, s, CFG, mesh, microbatches=2, pp="pp", dp="dp"))(
+            staged, xs, sigma)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_tp_sharded_forward_matches(params, x):
+    """Megatron-style tp shardings change the layout, not the math."""
+    mesh = make_mesh(8, axis_names=("dp", "tp"), mesh_shape=(2, 4))
+    ref = dit_apply(params, x, jnp.full((4,), 3.0), CFG)
+    sh = dit_param_shardings(params, mesh, tp="tp")
+    # qkv kernels split output features on tp; attn_out splits input
+    assert sh["blocks"]["qkv"]["w"].spec == P(None, None, "tp")
+    assert sh["blocks"]["attn_out"]["w"].spec == P(None, "tp", None)
+    pt = jax.tree_util.tree_map(jax.device_put, params, sh)
+    xs = jax.device_put(x, NamedSharding(mesh, P("dp")))
+    out = jax.jit(lambda p, v, s: dit_apply(p, v, s, CFG))(
+        pt, xs, jnp.full((4,), 3.0))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_dit_drives_the_sampler(params):
+    """The DiT denoiser satisfies the sampler protocol end to end."""
+    from sonar_tpu.api import SonarPipeline
+
+    pipe = SonarPipeline(model=make_dit_denoiser(params, CFG),
+                         sampler="sonar_euler_ancestral", seed=0)
+    sig = np.concatenate([np.geomspace(14.6, 0.03, 6), [0.0]]).astype(
+        np.float32)
+    x0 = jnp.asarray(np.random.default_rng(2)
+                     .standard_normal((2, 4, 16, 16)).astype(np.float32)) * 14.6
+    out = pipe(x0, sig)
+    assert out.shape == x0.shape and bool(jnp.isfinite(out).all())
