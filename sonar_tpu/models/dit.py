@@ -42,11 +42,21 @@ class DiTConfig:
     depth: int = 8
     num_heads: int = 8
     mlp_ratio: int = 4
+    # num_experts > 0 swaps every block's MLP for a Switch-style top-1
+    # mixture of experts (einsum dispatch/combine, static per-sample
+    # capacity — shapes stay trace-static). Expert weights gain a leading
+    # E axis that shards over the ``ep`` mesh axis.
+    num_experts: int = 0
+    capacity_factor: float = 1.25
     dtype: Any = jnp.float32
 
     @property
     def patch_dim(self) -> int:
         return self.patch_size * self.patch_size * self.in_channels
+
+    def expert_capacity(self, n_tokens: int) -> int:
+        return max(1, math.ceil(self.capacity_factor * n_tokens
+                                / self.num_experts))
 
 
 # ---------------------------------------------------------------------------
@@ -62,10 +72,18 @@ def _dense_init(key, din, dout, dtype, scale=1.0):
     }
 
 
+def _expert_dense_init(key, n_experts, din, dout, dtype, scale=1.0):
+    std = scale * math.sqrt(1.0 / din)
+    return {
+        "w": jax.random.normal(key, (n_experts, din, dout), dtype) * std,
+        "b": jnp.zeros((n_experts, dout), dtype),
+    }
+
+
 def _block_init(key, cfg: DiTConfig):
     d, dt = cfg.hidden, cfg.dtype
-    k1, k2, k3, k4, k5 = jax.random.split(key, 5)
-    return {
+    k1, k2, k3, k4, k5, k6 = jax.random.split(key, 6)
+    p = {
         # adaLN modulation: emb -> (shift/scale/gate) x (attn, mlp).
         # Small-random weights + zero bias: near-identity blocks at init
         # (DiT's adaLN-zero spirit) while keeping the compute path
@@ -73,9 +91,18 @@ def _block_init(key, cfg: DiTConfig):
         "ada": _dense_init(k1, d, 6 * d, dt, scale=1e-2),
         "qkv": _dense_init(k2, d, 3 * d, dt),
         "attn_out": _dense_init(k3, d, d, dt, scale=1e-2),
-        "mlp_in": _dense_init(k4, d, cfg.mlp_ratio * d, dt),
-        "mlp_out": _dense_init(k5, cfg.mlp_ratio * d, d, dt, scale=1e-2),
     }
+    if cfg.num_experts:
+        p["router"] = _dense_init(k6, d, cfg.num_experts, dt, scale=1e-2)
+        p["mlp_in"] = _expert_dense_init(k4, cfg.num_experts, d,
+                                         cfg.mlp_ratio * d, dt)
+        p["mlp_out"] = _expert_dense_init(k5, cfg.num_experts,
+                                          cfg.mlp_ratio * d, d, dt,
+                                          scale=1e-2)
+    else:
+        p["mlp_in"] = _dense_init(k4, d, cfg.mlp_ratio * d, dt)
+        p["mlp_out"] = _dense_init(k5, cfg.mlp_ratio * d, d, dt, scale=1e-2)
+    return p
 
 
 def init_dit_params(key: jax.Array, cfg: DiTConfig = DiTConfig()) -> dict:
@@ -163,15 +190,57 @@ def _attention(p, x, num_heads):
     return _dense(p["attn_out"], out.transpose(0, 2, 1, 3).reshape(b, n, d))
 
 
-def _block(p, h, emb, num_heads):
-    """One adaLN DiT block. ``p`` leaves are UNSTACKED (no depth axis)."""
+def _moe_mlp(p, x, cfg: DiTConfig):
+    """Switch-style top-1 mixture of experts via einsum dispatch/combine
+    (the Mesh-TensorFlow formulation: static shapes, no gathers — the
+    dispatch one-hots become MXU matmuls, and a leading-E sharding over
+    the ``ep`` mesh axis makes GSPMD insert the token all-to-alls).
+
+    Routing is per batch row: each sample's tokens compete for a static
+    per-sample expert capacity ``C = ceil(cf·N/E)``, so microbatching and
+    dp sharding reproduce the unsharded routing exactly. Returns
+    ``(y, aux)`` where aux is the Switch load-balance loss
+    ``E · Σ_e f_e·P_e`` (≥ 1, = 1 when perfectly balanced)."""
+    b, n, d = x.shape
+    e = cfg.num_experts
+    c = cfg.expert_capacity(n)
+    logits = _dense(p["router"], x).astype(jnp.float32)   # (B,N,E)
+    probs = jax.nn.softmax(logits, axis=-1)
+    gate = jnp.max(probs, axis=-1)                        # (B,N)
+    idx = jnp.argmax(probs, axis=-1)                      # (B,N)
+    onehot = jax.nn.one_hot(idx, e, dtype=jnp.float32)    # (B,N,E)
+    aux = e * jnp.sum(jnp.mean(onehot, axis=(0, 1))
+                      * jnp.mean(probs, axis=(0, 1)))
+    # position of each token within its expert's buffer; beyond-capacity
+    # tokens are dropped (contribute only their residual path)
+    pos = jnp.cumsum(onehot, axis=1) * onehot - 1.0       # (B,N,E)
+    keep = (pos >= 0.0) & (pos < c)
+    slot = jax.nn.one_hot(jnp.clip(pos, 0, c - 1).astype(jnp.int32), c,
+                          dtype=jnp.float32)              # (B,N,E,C)
+    dispatch = (slot * keep[..., None]).astype(x.dtype)
+    combine = dispatch * gate[..., None, None].astype(x.dtype)
+    xin = jnp.einsum("bnec,bnd->ebcd", dispatch, x)       # (E,B,C,D)
+    hmid = jax.nn.gelu(jnp.einsum("ebcd,edf->ebcf", xin, p["mlp_in"]["w"])
+                       + p["mlp_in"]["b"][:, None, None, :])
+    yout = (jnp.einsum("ebcf,efd->ebcd", hmid, p["mlp_out"]["w"])
+            + p["mlp_out"]["b"][:, None, None, :])
+    return jnp.einsum("bnec,ebcd->bnd", combine, yout), aux
+
+
+def _block(p, h, emb, cfg: DiTConfig):
+    """One adaLN DiT block. ``p`` leaves are UNSTACKED (no depth axis).
+    Returns ``(h, aux)`` — aux is 0 for dense-MLP blocks."""
     mod = _dense(p["ada"], jax.nn.silu(emb))  # (B, 6D)
     sh_a, sc_a, g_a, sh_m, sc_m, g_m = jnp.split(mod, 6, axis=-1)
     h = h + g_a[:, None, :] * _attention(
-        p, _modulate(_layer_norm(h), sh_a, sc_a), num_heads)
+        p, _modulate(_layer_norm(h), sh_a, sc_a), cfg.num_heads)
     y = _modulate(_layer_norm(h), sh_m, sc_m)
-    y = _dense(p["mlp_out"], jax.nn.gelu(_dense(p["mlp_in"], y)))
-    return h + g_m[:, None, :] * y
+    if "router" in p:
+        y, aux = _moe_mlp(p, y, cfg)
+    else:
+        y = _dense(p["mlp_out"], jax.nn.gelu(_dense(p["mlp_in"], y)))
+        aux = jnp.zeros((), jnp.float32)
+    return h + g_m[:, None, :] * y, aux
 
 
 def _patchify(x, patch):
@@ -207,21 +276,26 @@ def _head(params, h, emb, hp, wp, cfg: DiTConfig, out_dtype):
                        cfg.in_channels).astype(out_dtype)
 
 
-def _scan_blocks(stacked, h, emb, num_heads):
+def _scan_blocks(stacked, h, emb, cfg):
     def body(carry, bp):
-        return _block(bp, carry, emb, num_heads), None
+        out, aux = _block(bp, carry, emb, cfg)
+        return out, aux
 
-    h, _ = jax.lax.scan(body, h, stacked)
-    return h
+    h, auxs = jax.lax.scan(body, h, stacked)
+    return h, jnp.mean(auxs)
 
 
 def dit_apply(params: dict, x: jax.Array, sigma: jax.Array,
-              cfg: DiTConfig = DiTConfig()) -> jax.Array:
+              cfg: DiTConfig = DiTConfig(), *,
+              return_aux: bool = False):
     """Predict epsilon for latent ``x`` (B,C,H,W) at noise level ``sigma``
-    (B,). Single-program scan over the stacked block params."""
+    (B,). Single-program scan over the stacked block params.
+    ``return_aux=True`` additionally returns the mean per-block MoE
+    load-balance loss (0 for dense configs)."""
     h, emb, hp, wp = _embed(params, x, sigma, cfg)
-    h = _scan_blocks(params["blocks"], h, emb, cfg.num_heads)
-    return _head(params, h, emb, hp, wp, cfg, x.dtype)
+    h, aux = _scan_blocks(params["blocks"], h, emb, cfg)
+    eps = _head(params, h, emb, hp, wp, cfg, x.dtype)
+    return (eps, aux) if return_aux else eps
 
 
 def make_dit_denoiser(params: dict, cfg: DiTConfig = DiTConfig(), *,
@@ -262,15 +336,19 @@ def pp_stage_params(params: dict, n_stages: int) -> dict:
 
 
 def dit_param_shardings(params: dict, mesh, *, tp: str | None = "tp",
-                        pp: str | None = None) -> dict:
+                        pp: str | None = None,
+                        ep: str | None = "ep") -> dict:
     """NamedShardings: megatron-style tensor parallelism (qkv/mlp_in split
     output features on ``tp``; attn_out/mlp_out split input features — the
-    pair needs ONE psum per block, inserted by XLA from the shardings) and,
-    for :func:`pp_stage_params` trees, the stage axis on ``pp``."""
+    pair needs ONE psum per block, inserted by XLA from the shardings);
+    for :func:`pp_stage_params` trees the stage axis rides ``pp``; MoE
+    expert weights shard their leading E axis on ``ep`` (GSPMD turns the
+    dispatch/combine einsums into the token all-to-alls)."""
     from jax.sharding import NamedSharding
 
     tp = tp if tp in mesh.axis_names else None
     pp = pp if pp and pp in mesh.axis_names else None
+    ep = ep if ep and ep in mesh.axis_names else None
 
     def spec(path, leaf):
         names = tuple(getattr(k, "key", getattr(k, "name", None))
@@ -279,9 +357,20 @@ def dit_param_shardings(params: dict, mesh, *, tp: str | None = "tp",
         # after pp_stage_params — the stage axis rides pp
         lead: tuple = () if "blocks" not in names else (
             (pp, None) if pp else (None,))
+        body_nd = leaf.ndim - len(lead)
+        mlp = any(n in ("mlp_in", "mlp_out") for n in names)
+        expert = mlp and (("w" in names and body_nd == 3)
+                          or ("b" in names and body_nd == 2))
         body: tuple
-        if leaf.ndim - len(lead) != 2:  # bias (adaLN stays replicated)
-            body = (None,) * (leaf.ndim - len(lead))
+        if expert:
+            if "b" in names:
+                body = (ep, None)
+            elif "mlp_in" in names:
+                body = (ep, None, tp)
+            else:
+                body = (ep, tp, None)
+        elif body_nd != 2 or "b" in names:  # bias (adaLN stays replicated)
+            body = (None,) * body_nd
         elif any(n in ("qkv", "mlp_in") for n in names):
             body = (None, tp)
         elif any(n in ("attn_out", "mlp_out") for n in names):
@@ -295,7 +384,8 @@ def dit_param_shardings(params: dict, mesh, *, tp: str | None = "tp",
 
 def dit_pp_apply(params: dict, x: jax.Array, sigma: jax.Array,
                  cfg: DiTConfig, mesh, *, microbatches: int,
-                 pp: str = "pp", dp: str | None = "dp") -> jax.Array:
+                 pp: str = "pp", dp: str | None = "dp",
+                 return_aux: bool = False):
     """Pipeline-parallel forward: ``params["blocks"]`` must be staged
     (:func:`pp_stage_params`) with its stage axis sharded over the ``pp``
     mesh axis. Runs the classic GPipe schedule — ``microbatches + stages -
@@ -320,7 +410,7 @@ def dit_pp_apply(params: dict, x: jax.Array, sigma: jax.Array,
     lat = P(dp_ok) if dp_ok else P()
 
     @partial(jax.shard_map, mesh=mesh,
-             in_specs=(P(pp), lat, lat), out_specs=lat,
+             in_specs=(P(pp), lat, lat), out_specs=(lat, P()),
              check_vma=False)
     def run_pipe(stage_blocks, h_loc, emb_loc):
         # stage_blocks leaves: (1, depth/S, ...) local view → drop stage axis
@@ -334,7 +424,7 @@ def dit_pp_apply(params: dict, x: jax.Array, sigma: jax.Array,
         fwd = [(i, i + 1) for i in range(s - 1)]
 
         def tick(carry, t):
-            buf, out = carry
+            buf, out, aux_acc = carry
             # stage 0 ingests microbatch t (clamped; extras are drain ticks)
             src = jnp.clip(t, 0, microbatches - 1)
             inp = jnp.where(stage == 0,
@@ -347,7 +437,11 @@ def dit_pp_apply(params: dict, x: jax.Array, sigma: jax.Array,
             esrc = jnp.clip(t - stage, 0, microbatches - 1)
             emb_t = jax.lax.dynamic_index_in_dim(e_mb, esrc, 0,
                                                  keepdims=False)
-            res = _scan_blocks(blocks, inp, emb_t, cfg.num_heads)
+            res, aux = _scan_blocks(blocks, inp, emb_t, cfg)
+            # aux only counts ticks where this stage held a REAL microbatch
+            # (warmup/drain ticks process placeholder data)
+            valid = ((t - stage) >= 0) & ((t - stage) < microbatches)
+            aux_acc = aux_acc + jnp.where(valid, aux, 0.0)
             # last stage banks finished microbatch t-(s-1)
             dst = jnp.clip(t - (s - 1), 0, microbatches - 1)
             bank = (stage == s - 1) & (t >= s - 1)
@@ -355,16 +449,22 @@ def dit_pp_apply(params: dict, x: jax.Array, sigma: jax.Array,
             out = jax.lax.dynamic_update_index_in_dim(
                 out, jnp.where(bank, res, cur), dst, 0)
             nxt = jax.lax.ppermute(res, pp, fwd)
-            return (nxt, out), None
+            return (nxt, out, aux_acc), None
 
         buf0 = jnp.zeros_like(h_mb[0])
         out0 = jnp.zeros_like(h_mb)
-        (_, out), _ = jax.lax.scan(tick, (buf0, out0),
-                                   jnp.arange(microbatches + s - 1))
-        # replicate the last stage's results across pp
+        (_, out, aux_acc), _ = jax.lax.scan(
+            tick, (buf0, out0, jnp.zeros((), jnp.float32)),
+            jnp.arange(microbatches + s - 1))
+        # replicate the last stage's results across pp; aux averages over
+        # stages (each stage contributed its blocks' mean × microbatches)
         out = jax.lax.psum(
             jnp.where(stage == s - 1, out, jnp.zeros_like(out)), pp)
-        return out.reshape(bl, *h_loc.shape[1:])
+        aux = jax.lax.psum(aux_acc, pp) / (s * microbatches)
+        if dp_ok:
+            aux = jax.lax.pmean(aux, dp_ok)
+        return out.reshape(bl, *h_loc.shape[1:]), aux
 
-    h = run_pipe(params["blocks"], h, emb)
-    return _head(params, h, emb, hp, wp, cfg, x.dtype)
+    h, aux = run_pipe(params["blocks"], h, emb)
+    eps = _head(params, h, emb, hp, wp, cfg, x.dtype)
+    return (eps, aux) if return_aux else eps

@@ -160,3 +160,120 @@ def test_dit_drives_the_sampler(params):
                      .standard_normal((2, 4, 16, 16)).astype(np.float32)) * 14.6
     out = pipe(x0, sig)
     assert out.shape == x0.shape and bool(jnp.isfinite(out).all())
+
+
+# ---------------------------------------------------------------------------
+# Mixture of experts (Switch-style top-1, einsum dispatch, ep sharding)
+# ---------------------------------------------------------------------------
+
+MOE_CFG = DiTConfig(hidden=64, depth=2, num_heads=4, patch_size=2,
+                    num_experts=4, capacity_factor=4.0)
+
+
+@pytest.fixture(scope="module")
+def moe_params():
+    return init_dit_params(jax.random.key(3), MOE_CFG)
+
+
+def test_moe_forward_and_aux(moe_params, x):
+    sigma = jnp.full((4,), 3.0)
+    eps, aux = jax.jit(lambda p, v, s: dit_apply(p, v, s, MOE_CFG,
+                                                 return_aux=True))(
+        moe_params, x, sigma)
+    assert eps.shape == x.shape and bool(jnp.isfinite(eps).all())
+    # Switch load-balance loss: E·Σf_e·P_e ≥ 1, = 1 when perfectly balanced
+    assert float(aux) >= 1.0 - 1e-5, float(aux)
+    # experts are actually consulted: zeroing them changes the output
+    zeroed = dict(moe_params, blocks=dict(
+        moe_params["blocks"],
+        mlp_out={"w": jnp.zeros_like(moe_params["blocks"]["mlp_out"]["w"]),
+                 "b": jnp.zeros_like(moe_params["blocks"]["mlp_out"]["b"])}))
+    eps0 = dit_apply(zeroed, x, sigma, MOE_CFG)
+    assert not np.allclose(np.asarray(eps), np.asarray(eps0))
+
+
+def test_moe_matches_naive_routing():
+    """The einsum dispatch/combine must equal per-token gather routing
+    (capacity large enough that nothing drops)."""
+    from sonar_tpu.models.dit import _moe_mlp
+
+    cfg = DiTConfig(hidden=16, num_experts=4, capacity_factor=4.0)
+    key = jax.random.key(5)
+    p = {
+        "router": {"w": jax.random.normal(key, (16, 4)) * 0.5,
+                   "b": jnp.zeros((4,))},
+        "mlp_in": {"w": jax.random.normal(jax.random.fold_in(key, 1),
+                                          (4, 16, 32)) * 0.2,
+                   "b": jnp.zeros((4, 32))},
+        "mlp_out": {"w": jax.random.normal(jax.random.fold_in(key, 2),
+                                           (4, 32, 16)) * 0.2,
+                    "b": jnp.zeros((4, 16))},
+    }
+    xt = jax.random.normal(jax.random.fold_in(key, 3), (2, 6, 16))
+    got, _ = _moe_mlp(p, xt, cfg)
+
+    logits = xt @ p["router"]["w"] + p["router"]["b"]
+    probs = jax.nn.softmax(logits.astype(jnp.float32), -1)
+    idx = np.asarray(jnp.argmax(probs, -1))
+    gate = np.asarray(jnp.max(probs, -1))
+    want = np.zeros((2, 6, 16), np.float32)
+    for b in range(2):
+        for t in range(6):
+            e = idx[b, t]
+            hmid = np.asarray(jax.nn.gelu(
+                xt[b, t] @ p["mlp_in"]["w"][e] + p["mlp_in"]["b"][e]))
+            want[b, t] = gate[b, t] * np.asarray(
+                hmid @ p["mlp_out"]["w"][e] + p["mlp_out"]["b"][e])
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-5, atol=2e-5)
+
+
+def test_moe_capacity_drops_tokens():
+    """Beyond-capacity tokens contribute nothing (residual-only)."""
+    from sonar_tpu.models.dit import _moe_mlp
+
+    cfg = DiTConfig(hidden=8, num_experts=2, capacity_factor=1e-9)  # C=1
+    key = jax.random.key(6)
+    p = {
+        # bias forces every token to expert 0 → only the first token kept
+        "router": {"w": jnp.zeros((8, 2)),
+                   "b": jnp.asarray([5.0, -5.0])},
+        "mlp_in": {"w": jnp.ones((2, 8, 8)) * 0.1, "b": jnp.zeros((2, 8))},
+        "mlp_out": {"w": jnp.ones((2, 8, 8)) * 0.1, "b": jnp.zeros((2, 8))},
+    }
+    xt = jax.random.normal(key, (1, 4, 8))
+    y, _ = _moe_mlp(p, xt, cfg)
+    assert not np.allclose(np.asarray(y[0, 0]), 0.0)
+    np.testing.assert_array_equal(np.asarray(y[0, 1:]), 0.0)
+
+
+def test_moe_ep_sharded_matches(moe_params, x):
+    """Expert-parallel layout changes collectives, not math."""
+    mesh = make_mesh(8, axis_names=("dp", "ep"), mesh_shape=(2, 4))
+    sigma = jnp.full((4,), 3.0)
+    ref = dit_apply(moe_params, x, sigma, MOE_CFG)
+    sh = dit_param_shardings(moe_params, mesh, tp=None, ep="ep")
+    assert sh["blocks"]["mlp_in"]["w"].spec == P(None, "ep", None, None)
+    pt = jax.tree_util.tree_map(jax.device_put, moe_params, sh)
+    xs = jax.device_put(x, NamedSharding(mesh, P("dp")))
+    out = jax.jit(lambda p, v, s: dit_apply(p, v, s, MOE_CFG))(pt, xs, sigma)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_moe_pp_composes(moe_params, x):
+    """MoE blocks pipeline too; eps matches the single-program scan.
+    (The pp aux is the per-microbatch formulation — standard for pipelined
+    MoE — so only eps equality is asserted.)"""
+    mesh = make_mesh(2, axis_names=("pp",))
+    sigma = jnp.full((4,), 3.0)
+    ref = dit_apply(moe_params, x, sigma, MOE_CFG)
+    staged = pp_stage_params(moe_params, 2)
+    staged = jax.tree_util.tree_map(
+        jax.device_put, staged,
+        dit_param_shardings(staged, mesh, tp=None, pp="pp", ep=None))
+    out, aux = jax.jit(lambda p, v, s: dit_pp_apply(
+        p, v, s, MOE_CFG, mesh, microbatches=2, dp=None,
+        return_aux=True))(staged, x, sigma)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
+    assert float(aux) >= 1.0 - 1e-5
