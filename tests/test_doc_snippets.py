@@ -11,7 +11,7 @@ DOCS = pathlib.Path(__file__).resolve().parents[1] / "docs"
 
 # guides whose snippets promise to run as-is
 RUNNABLE = ["power_noise.md", "freeu.md", "advanced_noise.md",
-            "wavelet_cfg.md"]
+            "wavelet_cfg.md", "models.md"]
 
 _BLOCK = re.compile(r"```python\n(.*?)```", re.DOTALL)
 
