@@ -137,14 +137,8 @@ def _dense(p, x):
     return x @ p["w"] + p["b"]
 
 
-def _sigma_embedding(sigma, ch, dtype):
-    """Fourier features of log-sigma; angles in f32 (unet.py:218 lesson)."""
-    half = ch // 2
-    logs = jnp.log(jnp.maximum(sigma, 1e-10)) / 4.0
-    freqs = jnp.exp(
-        jnp.arange(half, dtype=jnp.float32) * (-math.log(10000.0) / (half - 1)))
-    ang = logs[:, None].astype(jnp.float32) * freqs[None, :] * 1000.0
-    return jnp.concatenate([jnp.cos(ang), jnp.sin(ang)], axis=-1).astype(dtype)
+# one implementation of the f32-angles lesson, shared with the UNet
+from .unet import _sigma_embedding  # noqa: E402
 
 
 def _pos_embed(hp: int, wp: int, d: int, dtype):
@@ -181,8 +175,13 @@ def _modulate(x, shift, scale):
 def _attention(p, x, num_heads):
     b, n, d = x.shape
     dh = d // num_heads
-    qkv = _dense(p["qkv"], x).reshape(b, n, 3, num_heads, dh)
-    q, k, v = (qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
+    # the packed qkv kernel is laid out HEAD-MAJOR — feature index
+    # h·3dh + {q,k,v}·dh + i — so a tp shard of the output axis is a
+    # contiguous group of whole heads (tp must divide num_heads) and
+    # GSPMD keeps attention sharded instead of all-gathering activations
+    # (verified by HLO collective counts, tests/test_dit.py)
+    qkv = _dense(p["qkv"], x).reshape(b, n, num_heads, 3, dh)
+    q, k, v = (qkv[:, :, :, i].transpose(0, 2, 1, 3) for i in range(3))
     logits = jnp.einsum("bhqd,bhkd->bhqk", q, k,
                         preferred_element_type=jnp.float32)
     att = jax.nn.softmax(logits.astype(jnp.float32) / math.sqrt(dh), axis=-1)
@@ -400,12 +399,32 @@ def dit_pp_apply(params: dict, x: jax.Array, sigma: jax.Array,
     """
     s = mesh.shape[pp]
     dp_ok = dp if dp and dp in mesh.axis_names else None
+    lead = jax.tree_util.tree_leaves(params["blocks"])[0]
+    if lead.ndim < 2 or lead.shape[0] != s:
+        raise ValueError(
+            f"params['blocks'] stage axis is {lead.shape[0] if lead.ndim else 0}, "
+            f"mesh '{pp}' has {s} devices — run pp_stage_params(params, {s}) "
+            "first (a mismatched staging would silently drop blocks)")
+    # the pipeline composes with dp only: block weights enter shard_map
+    # pinned to P(pp) on the stage axis, so an ep/tp-sharded tree would be
+    # silently all-gathered to full replication per device — refuse loudly
+    for leaf in jax.tree_util.tree_leaves(params["blocks"]):
+        spec = getattr(getattr(leaf, "sharding", None), "spec", None)
+        extra = {ax for part in (spec or ()) if part is not None
+                 for ax in ((part,) if isinstance(part, str) else part)} - {pp}
+        if extra:
+            raise NotImplementedError(
+                f"dit_pp_apply composes with dp only; block weights are "
+                f"also sharded on {sorted(extra)} — use plain dit_apply "
+                "for tp/ep layouts, or replicate those axes before staging")
     h, emb, hp, wp = _embed(params, x, sigma, cfg)
     b = h.shape[0]
-    mb = b // microbatches
-    if b % microbatches:
-        raise ValueError(f"batch {b} not divisible into {microbatches} "
-                         "microbatches")
+    b_loc = b // mesh.shape[dp_ok] if dp_ok else b
+    if b_loc % microbatches:
+        raise ValueError(
+            f"per-shard batch {b_loc} (global {b}"
+            + (f" over {mesh.shape[dp_ok]} '{dp_ok}' shards" if dp_ok else "")
+            + f") not divisible into {microbatches} microbatches")
 
     lat = P(dp_ok) if dp_ok else P()
 

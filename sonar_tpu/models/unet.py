@@ -229,7 +229,8 @@ def _sigma_embedding(sigma, ch, dtype):
     half = ch // 2
     logs = jnp.log(jnp.maximum(sigma, 1e-10)) / 4.0
     freqs = jnp.exp(
-        jnp.arange(half, dtype=jnp.float32) * (-math.log(10000.0) / (half - 1)))
+        jnp.arange(half, dtype=jnp.float32)
+        * (-math.log(10000.0) / max(half - 1, 1)))
     ang = logs[:, None].astype(jnp.float32) * freqs[None, :] * 1000.0
     return jnp.concatenate([jnp.cos(ang), jnp.sin(ang)], axis=-1).astype(dtype)
 

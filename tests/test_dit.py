@@ -277,3 +277,62 @@ def test_moe_pp_composes(moe_params, x):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-5, atol=1e-6)
     assert float(aux) >= 1.0 - 1e-5
+
+
+# ---------------------------------------------------------------------------
+# Review-wave regressions
+# ---------------------------------------------------------------------------
+
+def test_pp_stage_count_must_match_mesh(params):
+    """Staging for S stages but running on a different-size pp mesh must
+    raise — the local view would silently drop blocks (verified: ~17%
+    output error with non-degenerate weights, masked by adaLN-zero init)."""
+    mesh = make_mesh(2, axis_names=("pp",))
+    staged4 = pp_stage_params(params, 4)
+    with pytest.raises(ValueError, match="stage axis"):
+        dit_pp_apply(staged4, jnp.zeros((2, 4, 16, 16)), jnp.ones((2,)),
+                     CFG, mesh, microbatches=1, dp=None)
+    # an UNSTAGED tree gets the same clear error, not a scan shape crash
+    with pytest.raises(ValueError, match="stage axis"):
+        dit_pp_apply(params, jnp.zeros((2, 4, 16, 16)), jnp.ones((2,)),
+                     CFG, mesh, microbatches=1, dp=None)
+
+
+def test_pp_microbatch_check_uses_local_batch(params):
+    """b=8 over dp=2 is 4 rows per shard: microbatches=8 must raise the
+    intended ValueError, not a reshape crash inside shard_map."""
+    mesh = make_mesh(8, axis_names=("dp", "pp"), mesh_shape=(2, 4))
+    staged = pp_stage_params(params, 4)
+    with pytest.raises(ValueError, match="per-shard batch 4"):
+        dit_pp_apply(staged, jnp.zeros((8, 4, 16, 16)), jnp.ones((8,)),
+                     CFG, mesh, microbatches=8)
+
+
+def test_pp_refuses_ep_or_tp_sharded_blocks(moe_params):
+    """pp composes with dp only: an ep-sharded staged tree must be refused
+    loudly instead of silently all-gathered to full replication."""
+    mesh = make_mesh(8, axis_names=("ep", "pp"), mesh_shape=(4, 2))
+    staged = pp_stage_params(moe_params, 2)
+    staged = jax.tree_util.tree_map(
+        jax.device_put, staged,
+        dit_param_shardings(staged, mesh, tp=None, pp="pp", ep="ep"))
+    with pytest.raises(NotImplementedError, match="dp only"):
+        dit_pp_apply(staged, jnp.zeros((4, 4, 16, 16)), jnp.ones((4,)),
+                     MOE_CFG, mesh, microbatches=2, dp=None)
+
+
+def test_tp_attention_compiles_gather_free(params, x):
+    """The head-major packed qkv layout must keep attention sharded: the
+    tp forward compiles with ZERO all-gathers (a head-misaligned split
+    forces GSPMD to gather q/k/v to full width — the round-3 review
+    finding, verified 5 all-gathers with the old (3, heads, dh) order)."""
+    mesh = make_mesh(8, axis_names=("dp", "tp"), mesh_shape=(2, 4))
+    pt = jax.tree_util.tree_map(
+        jax.device_put, params, dit_param_shardings(params, mesh, tp="tp"))
+    xs = jax.device_put(x, NamedSharding(mesh, P("dp")))
+    hlo = (jax.jit(lambda p, v, s: dit_apply(p, v, s, CFG))
+           .lower(pt, xs, jnp.full((4,), 3.0)).compile().as_text())
+    n_gather = sum("all-gather" in ln for ln in hlo.splitlines())
+    n_reduce = sum("all-reduce" in ln for ln in hlo.splitlines())
+    assert n_gather == 0, f"attention tp leaks {n_gather} all-gathers"
+    assert n_reduce > 0  # the megatron psums are really there
