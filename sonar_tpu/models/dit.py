@@ -298,10 +298,19 @@ def dit_apply(params: dict, x: jax.Array, sigma: jax.Array,
 
 
 def make_dit_denoiser(params: dict, cfg: DiTConfig = DiTConfig(), *,
-                      params_kwarg: str = "params") -> Callable:
+                      params_kwarg: str = "params",
+                      pp_mesh=None, microbatches: int = 1,
+                      pp: str = "pp", dp: str | None = "dp") -> Callable:
     """EDM-wrapped denoiser protocol ``model(x, sigma_batch) -> denoised``
     (same contract as models/unet.py:make_denoiser, weights as a call-time
-    jit argument via ``extra_args={"params": p}``)."""
+    jit argument via ``extra_args={"params": p}``).
+
+    ``pp_mesh`` switches the forward to the GPipe pipeline
+    (:func:`dit_pp_apply`) so a model too large for one chip serves
+    sampling too: ``params`` must then be staged with
+    :func:`pp_stage_params` and pp-sharded. Inference-only pipelining —
+    the whole sampling loop stays one compiled program, with the pipeline
+    schedule nested inside each denoiser call."""
 
     def model(x, sigma, **kw):
         p = kw.get(params_kwarg)
@@ -310,7 +319,11 @@ def make_dit_denoiser(params: dict, cfg: DiTConfig = DiTConfig(), *,
         sb = jnp.broadcast_to(jnp.asarray(sigma, x.dtype).reshape(-1),
                               (x.shape[0],))
         c_in = (1.0 / jnp.sqrt(1.0 + sb**2)).reshape(-1, 1, 1, 1)
-        eps = dit_apply(p, x * c_in, sb, cfg)
+        if pp_mesh is not None:
+            eps = dit_pp_apply(p, x * c_in, sb, cfg, pp_mesh,
+                               microbatches=microbatches, pp=pp, dp=dp)
+        else:
+            eps = dit_apply(p, x * c_in, sb, cfg)
         return x - sb.reshape(-1, 1, 1, 1) * eps
 
     return model

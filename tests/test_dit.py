@@ -336,3 +336,32 @@ def test_tp_attention_compiles_gather_free(params, x):
     n_reduce = sum("all-reduce" in ln for ln in hlo.splitlines())
     assert n_gather == 0, f"attention tp leaks {n_gather} all-gathers"
     assert n_reduce > 0  # the megatron psums are really there
+
+
+def test_pp_denoiser_serves_sampling(params):
+    """A pp-pipelined DiT denoiser drives the full sampler: the whole
+    sampling loop compiles as one program with the GPipe schedule nested
+    in each step, matching the single-device pipeline bit-for-bit in
+    trajectory shape and closely in values."""
+    from sonar_tpu.api import SonarPipeline
+
+    mesh = make_mesh(4, axis_names=("pp",))
+    staged = pp_stage_params(params, 4)
+    staged = jax.tree_util.tree_map(
+        jax.device_put, staged,
+        dit_param_shardings(staged, mesh, tp=None, pp="pp"))
+    sig = np.concatenate([np.geomspace(14.6, 0.03, 5), [0.0]]).astype(
+        np.float32)
+    x0 = jnp.asarray(np.random.default_rng(3)
+                     .standard_normal((2, 4, 16, 16)).astype(np.float32)) * 14.6
+
+    plain = SonarPipeline(model=make_dit_denoiser(params, CFG),
+                          sampler="sonar_euler_ancestral", seed=1)
+    piped = SonarPipeline(
+        model=make_dit_denoiser(staged, CFG, pp_mesh=mesh,
+                                microbatches=2, dp=None),
+        sampler="sonar_euler_ancestral", seed=1)
+    ref = plain(x0, sig)
+    out = piped(x0, sig)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
