@@ -83,13 +83,18 @@ def main():
     print(f"resumed from checkpoint at step {int(restored['step'])}, "
           f"next loss {float(loss):.4f}")
 
-    # sample from the EMA weights with the sonar machinery
+    # sample from the EMA weights with the sonar machinery. The weights
+    # flow through extra_args as a jit ARGUMENT — closing over them would
+    # bake the tree into the program as constants (recompile per weight
+    # update; breaks remote compile at SDXL scale — see
+    # docs/porting_guide.md "weights as jit arguments")
     model = make_denoiser(restored["ema"], cfg)
     sigmas = jnp.concatenate([jnp.geomspace(14.6, 0.03, 8),
                               jnp.zeros((1,))]).astype(jnp.float32)
     x0 = jax.random.normal(jax.random.key(1), (1, 4, 16, 16)) * 14.6
-    out = jax.jit(lambda x: sample_sonar_euler_ancestral(
-        model, x, sigmas, seed=11))(x0)
+    out = jax.jit(lambda x, w: sample_sonar_euler_ancestral(
+        model, x, sigmas, seed=11, extra_args={"params": w}))(
+            x0, restored["ema"])
     out = np.asarray(out)
     assert np.isfinite(out).all()
     print(f"sampled {out.shape} from EMA weights | std {out.std():.3f}")

@@ -95,8 +95,12 @@ def _fsdp_spec(spec: P, leaf, dp_size: int, fsdp_axis: str) -> P:
     all-gathers the shard before each use and reduce-scatters the grad —
     the standard ZeRO-3/FSDP memory story, no hand-written collectives.
 
-    Only dims divisible by the axis size are eligible; ineligible params
-    stay at the base spec (replicated over dp, like norm scales/biases)."""
+    Only dims divisible by the axis size are eligible, and 1-D leaves
+    (norm scales/biases — a few hundred bytes each) stay replicated:
+    sharding them saves nothing and costs a GSPMD all-gather per use,
+    the standard FSDP small-param exemption."""
+    if leaf.ndim <= 1:
+        return spec
     base = tuple(spec) + (None,) * (leaf.ndim - len(tuple(spec)))
     cands = [d for d in range(leaf.ndim)
              if base[d] is None and leaf.shape[d] % dp_size == 0
@@ -114,7 +118,13 @@ def unet_param_shardings(params, mesh: Mesh, *, fsdp: bool = False,
     ``fsdp=True`` additionally shards each weight's largest replicated dim
     over ``fsdp_axis`` (default the dp axis) — per-device param + optimizer
     memory drops ~dp×, paid with GSPMD-inserted all-gathers per use."""
-    dp_size = dict(zip(mesh.axis_names, mesh.devices.shape)).get(fsdp_axis, 1)
+    dp_size = mesh.shape.get(fsdp_axis, 0)
+    if fsdp and dp_size == 0:
+        # a silent no-op here means the expected ~dp× memory reduction
+        # quietly doesn't happen and the job OOMs with no diagnostic
+        raise ValueError(
+            f"fsdp=True but mesh has no {fsdp_axis!r} axis "
+            f"(axes: {tuple(mesh.axis_names)}) — pass fsdp_axis=")
 
     def spec(path, leaf):
         s = _param_spec(path, leaf)

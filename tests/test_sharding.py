@@ -238,14 +238,21 @@ def test_fsdp_param_sharding_train_step(mesh8):
     cfg = UNetConfig(model_channels=16, channel_mult=(1, 2), num_res_blocks=1,
                      attention_levels=(1,), num_heads=4, norm_groups=4)
     raw = init_unet_params(jax.random.key(0), cfg)
+    fsdp_tree = unet_param_shardings(raw, mesh8, fsdp=True)
     params_rep = shard_unet_params(raw, mesh8)
-    params_fsdp = shard_unet_params(raw, mesh8, fsdp=True)
+    params_fsdp = jax.device_put(raw, fsdp_tree)
 
-    # at least the big conv/dense kernels picked up a dp-sharded dim
-    shardings = jax.tree_util.tree_leaves(
-        unet_param_shardings(raw, mesh8, fsdp=True))
+    # at least the big conv/dense kernels picked up a dp-sharded dim...
+    shardings = jax.tree_util.tree_leaves(fsdp_tree)
     assert any("dp" in str(s.spec) for s in shardings), \
         [str(s.spec) for s in shardings[:8]]
+    # ...while 1-D norm scales/biases stay replicated (the FSDP
+    # small-param exemption: sharding them is all overhead, no memory)
+    flat = jax.tree_util.tree_flatten_with_path(fsdp_tree)[0]
+    leaves_by_path = dict(jax.tree_util.tree_flatten_with_path(raw)[0])
+    for p, s in flat:
+        if leaves_by_path[p].ndim <= 1:
+            assert "dp" not in str(s.spec), (p, s.spec)
 
     batch = jax.device_put(
         jnp.asarray(np.random.default_rng(1).standard_normal(
@@ -254,20 +261,46 @@ def test_fsdp_param_sharding_train_step(mesh8):
     step = jax.jit(make_train_step(cfg))
     p_rep, _, loss_rep = step(params_rep, init_train_state(params_rep),
                               batch, jax.random.key(2))
-    p_f, opt_f, loss_f = step(params_fsdp, init_train_state(params_fsdp),
-                              batch, jax.random.key(2))
+    # one lowering serves both the HLO inspection and the execution
+    fsdp_opt = init_train_state(params_fsdp)
+    lowered = step.lower(params_fsdp, fsdp_opt, batch, jax.random.key(2))
+    compiled = lowered.compile()
+    p_f, opt_f, loss_f = compiled(params_fsdp, fsdp_opt, batch,
+                                  jax.random.key(2))
     jax.block_until_ready(loss_f)
     # same math, different layout: loss matches to reduction-order error
     np.testing.assert_allclose(float(loss_f), float(loss_rep),
                                rtol=1e-5, atol=1e-6)
-    # updated params keep the FSDP layout (no silent re-replication)
-    fsdp_specs = {str(s.spec) for s in jax.tree_util.tree_leaves(
-        unet_param_shardings(raw, mesh8, fsdp=True))}
-    out_specs = {str(leaf.sharding.spec)
-                 for leaf in jax.tree_util.tree_leaves(p_f)}
-    assert any("dp" in s for s in out_specs), out_specs
-    assert out_specs <= fsdp_specs, out_specs - fsdp_specs
-    # the compiled step actually gathers shards (FSDP, not replication)
-    hlo = step.lower(params_fsdp, init_train_state(params_fsdp), batch,
-                     jax.random.key(2)).compile().as_text()
-    assert "all-gather" in hlo or "all-reduce" in hlo
+    # updated WEIGHTS keep the FSDP layout per-path (no silent
+    # re-replication); 1-D leaves are replicated inputs and may come back
+    # with whatever sharding GSPMD propagated — harmless scraps
+    out_flat = dict(jax.tree_util.tree_flatten_with_path(p_f)[0])
+    saw_dp = False
+    for path, sh in flat:
+        if leaves_by_path[path].ndim >= 2:
+            assert out_flat[path].sharding.spec == sh.spec, (
+                path, out_flat[path].sharding.spec, sh.spec)
+            saw_dp = saw_dp or "dp" in str(sh.spec)
+    assert saw_dp
+    # the compiled step actually GATHERS weight shards: a replicated
+    # layout also emits the gradient all-reduce, so only an all-gather
+    # pins "FSDP, not replication"
+    assert "all-gather" in compiled.as_text()
+
+
+def test_fsdp_requires_the_axis():
+    """fsdp=True with a mesh lacking the fsdp axis must raise, not
+    silently return a replicated layout (the OOM-with-no-diagnostic trap)."""
+    from sonar_tpu.models import UNetConfig, init_unet_params
+    from sonar_tpu.parallel import unet_param_shardings
+
+    mesh = make_mesh(8, axis_names=("data", "tp"))
+    raw = init_unet_params(jax.random.key(0), UNetConfig(
+        model_channels=16, channel_mult=(1,), num_res_blocks=1,
+        attention_levels=(), norm_groups=4))
+    with pytest.raises(ValueError, match="no 'dp' axis"):
+        unet_param_shardings(raw, mesh, fsdp=True)
+    # naming the right axis works
+    tree = unet_param_shardings(raw, mesh, fsdp=True, fsdp_axis="data")
+    assert any("data" in str(s.spec)
+               for s in jax.tree_util.tree_leaves(tree))
