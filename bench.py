@@ -163,6 +163,31 @@ def bench_sampler_steps_per_sec(steps: int = 20, shape=(1, 4, 64, 64)) -> float:
     return steps / dt
 
 
+def bench_dit_sampler_steps_per_sec(steps: int = 20,
+                                     shape=(1, 4, 64, 64)) -> float:
+    """Same 20-step config-1 shape as the UNet sampler metric, driven by
+    the DiT model family (scan-over-stacked-blocks transformer denoiser,
+    models/dit.py) — evidence the second family runs on hardware."""
+    from sonar_tpu.models import DiTConfig, init_dit_params, make_dit_denoiser
+    from sonar_tpu.samplers.sonar import sample_sonar_euler_ancestral
+
+    cfg = DiTConfig(hidden=384, depth=12, num_heads=6, patch_size=2)
+    params = init_dit_params(jax.random.key(0), cfg)
+    model = make_dit_denoiser(params, cfg)
+    ramp = jnp.linspace(0, 1, steps)
+    sigmas = (14.6 ** (1 / 7.0) + ramp * (0.03 ** (1 / 7.0) - 14.6 ** (1 / 7.0))) ** 7.0
+    sigmas = jnp.concatenate([sigmas, jnp.zeros((1,))]).astype(jnp.float32)
+    x = jax.random.normal(jax.random.key(1), shape, jnp.float32) * float(sigmas[0])
+
+    @jax.jit
+    def run(x, w):
+        return sample_sonar_euler_ancestral(model, x, sigmas, seed=7,
+                                            extra_args={"params": w})
+
+    dt = _timeit(run, x, params, warmup=1, iters=5)
+    return steps / dt
+
+
 def bench_noise_mpix_per_sec(shape=(1, 4, 128, 128), iters=50) -> float:
     from sonar_tpu.noise.base import make_noise_sampler
     from sonar_tpu.noise.presets import get_noise_item
@@ -607,6 +632,7 @@ def bench_proxy_config3_per_call_ms() -> float:
 _SINGLE = {
     "sampler": bench_sampler_steps_per_sec,
     "sampler_b8": bench_sampler_b8,
+    "dit_sampler": bench_dit_sampler_steps_per_sec,
     "noise": bench_noise_mpix_per_sec,
     "power": bench_power_noise_mpix,
     "anchor": bench_torch_cpu_anchor,
@@ -738,7 +764,8 @@ _CORE = ["sampler", "noise", "anchor", "proxy_euler", "proxy_config3",
 _EXTRAS = ["proxy_euler_batched", "proxy_euler_fast", "proxy_config3_fast",
            "proxy_euler_bf16",
            "sdxl_euler_fast", "sdxl_euler_batched", "sdxl_euler_bf16",
-           "voronoi", "voronoi_anchor", "sampler_b8", "power", "noise_bulk",
+           "voronoi", "voronoi_anchor", "sampler_b8", "dit_sampler",
+           "power", "noise_bulk",
            "fused_old_ab", "fused_highres_ab", "fused_ab", "noise_fused",
            "noise_bulk_fused", "hw_ab", "noise_hw"]
 
@@ -864,6 +891,9 @@ def _emit(r, timings):
         "extra": {
             "per_step_ms_p50": _rnd(_ratio(1000.0, steps)),
             "batch8_latent_steps_per_sec": _rnd(r.get("sampler_b8")),
+            # second model family on hardware: DiT-384/12 at the same
+            # config-1 shape (models/dit.py)
+            "dit_sampler_steps_per_sec": _rnd(r.get("dit_sampler")),
             "noise_pyramid_mpix_per_sec": _rnd(mpix),
             "torch_cpu_anchor_mpix_per_sec": _rnd(anchor),
             "vs_baseline_is": "pyramid-noise Mpix/s vs torch-CPU anchor",
