@@ -187,6 +187,15 @@ class SonarPipeline:
                             ("seed", self.seed)):
             if value is not None and (accepts is None or name in accepts):
                 call_kwargs.setdefault(name, value)
+        # flow models (model_sampling=Flow) default ancestral samplers to
+        # the rectified-flow noise split — the host does the same routing
+        # for CONST models. Only for samplers that declare the knob (an
+        # opaque **kwargs sampler may not understand it).
+        from ..cfg.model_sampling import Flow
+
+        if (isinstance(self.model_sampling, Flow)
+                and accepts is not None and "ancestral_mode" in accepts):
+            call_kwargs.setdefault("ancestral_mode", "rf")
         if self.fused_noise is None:
             return self.sampler(denoiser, x0, sigmas, **call_kwargs)
         # the fused-kernel flag is read at TRACE time by the pyramid
@@ -204,6 +213,46 @@ class SonarPipeline:
                 os.environ.pop("SONAR_TPU_FUSED_PYRAMID", None)
             else:
                 os.environ["SONAR_TPU_FUSED_PYRAMID"] = old
+
+    # -- host-side latent contract (ComfyUI applies these around sampling) ----
+    def _prediction(self, prediction=None):
+        from ..cfg.model_sampling import Flow
+        from ..models.prediction import CONST, EPS, get_prediction
+
+        if prediction is not None:
+            return get_prediction(prediction)
+        return CONST() if isinstance(self.model_sampling, Flow) else EPS()
+
+    def prepare_latent(self, latent, noise, sigmas, *, prediction=None):
+        """Noise a clean latent to ``sigmas[0]`` — the img2img entry
+        contract the host normally applies before the sampler runs
+        (``model_sampling.noise_scaling`` in ComfyUI's CFGGuider.sample).
+        EPS models add ``sigma0 * noise`` (or ``sqrt(1+sigma0^2)`` when
+        sigma0 reaches sigma_max — the max-denoise rule, reference
+        misc.py:99-106); flow models interpolate
+        ``sigma0*noise + (1-sigma0)*latent``. ``prediction`` overrides the
+        default (CONST for Flow model_sampling, EPS otherwise)."""
+        import math
+
+        pred = self._prediction(prediction)
+        sigmas = np.asarray(sigmas, np.float32)
+        s0 = float(sigmas[0])
+        max_denoise = (
+            math.isclose(float(self.model_sampling.sigma_max), s0,
+                         rel_tol=1e-05)
+            or s0 > float(self.model_sampling.sigma_max))
+        return pred.noise_scaling(jnp.float32(s0), noise, latent,
+                                  max_denoise=max_denoise)
+
+    def finalize_latent(self, samples, sigmas, *, prediction=None):
+        """Undo latent-side scaling at the END sigma — identity for EPS
+        and for any schedule ending at 0; ``latent / (1 - sigma_end)`` for
+        flow models stopped early (ComfyUI's inverse_noise_scaling call
+        after sampling)."""
+        pred = self._prediction(prediction)
+        sigmas = np.asarray(sigmas, np.float32)
+        return pred.inverse_noise_scaling(jnp.float32(float(sigmas[-1])),
+                                          samples)
 
     def jit(self) -> Callable:
         """A jitted ``fn(x0, sigmas, *, extra_args=None, **static_kwargs) ->

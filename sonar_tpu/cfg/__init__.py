@@ -9,7 +9,13 @@ from .latent_ops import (  # noqa: F401
     SonarLatentOperationQuantileFilter,
     apply_operations,
 )
-from .model_sampling import ContinuousEDM, DiscreteSampling, make_beta_sigmas  # noqa: F401
+from .model_sampling import (  # noqa: F401
+    ContinuousEDM,
+    DiscreteSampling,
+    Flow,
+    make_beta_sigmas,
+    time_snr_shift,
+)
 from .wavelet_cfg import (  # noqa: F401
     WaveletCFG,
     WCFGPercentages,

@@ -82,3 +82,57 @@ class ContinuousEDM:
             return 0.0
         lo, hi = np.log(self.sigma_min_val), np.log(self.sigma_max_val)
         return float(np.exp(hi + (lo - hi) * percent))
+
+
+def time_snr_shift(alpha: float, t):
+    """Resolution-shifted flow time: ``alpha*t / (1 + (alpha-1)*t)``.
+
+    The standard SD3/Flux timestep shift — ``alpha > 1`` spends more of the
+    schedule at high noise (needed at high resolution). Works on scalars
+    and arrays (numpy or traced)."""
+    if alpha == 1.0:
+        return t
+    return alpha * t / (1 + (alpha - 1) * t)
+
+
+@dataclasses.dataclass(frozen=True)
+class Flow:
+    """Rectified-flow model sampling (SD3/Flux family).
+
+    Sigma doubles as flow time: ``x_t = (1 - sigma)*x0 + sigma*noise`` with
+    ``sigma in (0, 1]``, so ``sigma_max = 1.0`` and the conditioning
+    timestep is simply ``sigma * multiplier``. ``shift`` applies the
+    resolution shift to the per-timestep table (and to percent windows),
+    matching the host-side ModelSamplingDiscreteFlow protocol the reference's
+    patches consume (WCFG/FreeU sigma windows, schedules)."""
+
+    shift: float = 1.0
+    multiplier: float = 1000.0
+    timesteps: int = 1000
+
+    @property
+    def sigmas(self) -> np.ndarray:
+        t = np.arange(1, self.timesteps + 1, dtype=np.float64) / self.timesteps
+        return np.asarray(time_snr_shift(self.shift, t), np.float32)
+
+    @property
+    def sigma_min(self) -> float:
+        return float(self.sigmas[0])
+
+    @property
+    def sigma_max(self) -> float:
+        return float(self.sigmas[-1])
+
+    def timestep(self, sigma):
+        return jnp.asarray(sigma) * self.multiplier
+
+    def sigma(self, timestep):
+        return time_snr_shift(self.shift,
+                              jnp.asarray(timestep) / self.multiplier)
+
+    def percent_to_sigma(self, percent: float) -> float:
+        if percent <= 0.0:
+            return 1.0
+        if percent >= 1.0:
+            return 0.0
+        return float(time_snr_shift(self.shift, 1.0 - percent))

@@ -11,5 +11,13 @@ from .dit import (  # noqa: F401
     make_dit_denoiser,
     pp_stage_params,
 )
+from .prediction import (  # noqa: F401
+    CONST,
+    EPS,
+    PREDICTIONS,
+    V_PREDICTION,
+    X0,
+    get_prediction,
+)
 from .train import ema_update, init_train_state, make_train_step  # noqa: F401
 from .unet import UNetConfig, init_unet_params, make_denoiser, unet_apply  # noqa: F401

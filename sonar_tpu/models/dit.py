@@ -300,10 +300,18 @@ def dit_apply(params: dict, x: jax.Array, sigma: jax.Array,
 def make_dit_denoiser(params: dict, cfg: DiTConfig = DiTConfig(), *,
                       params_kwarg: str = "params",
                       pp_mesh=None, microbatches: int = 1,
-                      pp: str = "pp", dp: str | None = "dp") -> Callable:
-    """EDM-wrapped denoiser protocol ``model(x, sigma_batch) -> denoised``
+                      pp: str = "pp", dp: str | None = "dp",
+                      prediction="eps",
+                      timestep_fn: Callable | None = None) -> Callable:
+    """Denoiser protocol ``model(x, sigma_batch) -> denoised``
     (same contract as models/unet.py:make_denoiser, weights as a call-time
     jit argument via ``extra_args={"params": p}``).
+
+    ``prediction`` selects the output parametrization (models/prediction.py):
+    ``"eps"`` default, ``"v"``, ``"x0"``, or ``"const"``/``"flow"`` for a
+    rectified-flow DiT (SD3/Flux-style — pair with ``timestep_fn=
+    cfg.Flow().timestep`` so the sinusoidal embedding sees sigma*1000, and
+    sample with ``ancestral_mode="rf"``).
 
     ``pp_mesh`` switches the forward to the GPipe pipeline
     (:func:`dit_pp_apply`) so a model too large for one chip serves
@@ -311,6 +319,9 @@ def make_dit_denoiser(params: dict, cfg: DiTConfig = DiTConfig(), *,
     :func:`pp_stage_params` and pp-sharded. Inference-only pipelining —
     the whole sampling loop stays one compiled program, with the pipeline
     schedule nested inside each denoiser call."""
+    from .prediction import get_prediction
+
+    pred = get_prediction(prediction)
 
     def model(x, sigma, **kw):
         p = kw.get(params_kwarg)
@@ -318,13 +329,15 @@ def make_dit_denoiser(params: dict, cfg: DiTConfig = DiTConfig(), *,
             p = params
         sb = jnp.broadcast_to(jnp.asarray(sigma, x.dtype).reshape(-1),
                               (x.shape[0],))
-        c_in = (1.0 / jnp.sqrt(1.0 + sb**2)).reshape(-1, 1, 1, 1)
+        s4 = sb.reshape(-1, 1, 1, 1)
+        cond = sb if timestep_fn is None else timestep_fn(sb)
+        xin = pred.calculate_input(s4, x)
         if pp_mesh is not None:
-            eps = dit_pp_apply(p, x * c_in, sb, cfg, pp_mesh,
+            out = dit_pp_apply(p, xin, cond, cfg, pp_mesh,
                                microbatches=microbatches, pp=pp, dp=dp)
         else:
-            eps = dit_apply(p, x * c_in, sb, cfg)
-        return x - sb.reshape(-1, 1, 1, 1) * eps
+            out = dit_apply(p, xin, cond, cfg)
+        return pred.calculate_denoised(s4, out, x)
 
     return model
 

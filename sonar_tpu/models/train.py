@@ -22,35 +22,71 @@ import optax
 from .unet import UNetConfig, unet_apply
 
 
-def _remat_apply(remat: bool | str):
-    """Resolve the ``remat`` knob to a (possibly checkpointed) unet_apply."""
+def _remat_apply(remat: bool | str, apply_fn: Callable):
+    """Resolve the ``remat`` knob to a (possibly checkpointed) apply fn."""
     if remat is False:
-        return unet_apply
+        return apply_fn
     if remat is True or remat == "full":
         # policy=None: save nothing between the boundaries — recompute the
         # whole forward during the backward pass
-        return jax.checkpoint(unet_apply, static_argnums=(3,))
+        return jax.checkpoint(apply_fn, static_argnums=(3,))
     if remat == "dots":
         return jax.checkpoint(
-            unet_apply, static_argnums=(3,),
+            apply_fn, static_argnums=(3,),
             policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
     raise ValueError(
         f"unknown remat policy {remat!r}; valid: False, True, 'full', 'dots'")
 
 
+def _base_apply(cfg, moe_aux: bool):
+    """Per-family apply fn with the uniform ``(params, x, cond, cfg)``
+    signature ``_remat_apply`` checkpoints (cfg static)."""
+    from .dit import DiTConfig, dit_apply
+
+    if isinstance(cfg, DiTConfig):
+        if moe_aux:
+
+            def apply_fn(params, x, cond, c):
+                return dit_apply(params, x, cond, c, return_aux=True)
+
+            return apply_fn
+        return dit_apply
+    return unet_apply
+
+
 def make_train_step(
-    cfg: UNetConfig,
+    cfg,
     optimizer: optax.GradientTransformation | None = None,
     *,
     sigma_min: float = 0.03,
     sigma_max: float = 14.6,
     remat: bool | str = False,
     compute_dtype: Any = None,
+    objective: str = "eps",
+    flow_shift: float = 1.0,
+    timestep_multiplier: float = 1000.0,
+    aux_weight: float = 0.01,
 ) -> Callable:
     """Returns ``train_step(params, opt_state, batch, key) ->
     (params, opt_state, loss)``; ``batch`` is clean latents (B,C,H,W).
+    ``cfg`` selects the model family: a :class:`UNetConfig` trains the
+    UNet, a :class:`~sonar_tpu.models.dit.DiTConfig` the DiT (MoE configs
+    automatically add ``aux_weight`` x the Switch load-balance loss).
 
-    ``remat`` rematerializes the UNet forward in the backward pass
+    ``objective`` picks the parametrization the trained weights expect at
+    sampling time (models/prediction.py):
+
+    - ``"eps"`` — noise prediction with EDM input scaling, log-uniform
+      sigmas in [sigma_min, sigma_max]; pair with
+      ``make_denoiser(..., prediction="eps")`` (the default).
+    - ``"flow"`` — rectified-flow matching (SD3/Flux recipe): t uniform in
+      (0, 1] warped by ``time_snr_shift(flow_shift, t)``, input
+      ``(1-t)*x0 + t*eps`` unscaled, network conditioned on
+      ``t * timestep_multiplier``, target velocity ``eps - x0``; pair with
+      ``make_*_denoiser(..., prediction="flow",
+      timestep_fn=Flow(...).timestep)``.
+
+    ``remat`` rematerializes the model forward in the backward pass
     (jax.checkpoint) — the standard TPU lever for trading FLOPs against
     activation HBM. ``True``/``"full"`` saves nothing (max memory saving,
     ~30% more FLOPs); ``"dots"`` saves matmul/conv outputs and recomputes
@@ -66,10 +102,14 @@ def make_train_step(
     loss + gradients land back in float32 (grad-of-cast is cast-back)."""
     import dataclasses
 
+    if objective not in ("eps", "flow"):
+        raise ValueError(
+            f"objective must be 'eps' or 'flow', got {objective!r}")
     optimizer = optimizer or optax.adam(1e-4)
     apply_cfg = (cfg if compute_dtype is None
                  else dataclasses.replace(cfg, dtype=compute_dtype))
-    apply = _remat_apply(remat)
+    moe_aux = getattr(cfg, "num_experts", 0) > 0
+    apply = _remat_apply(remat, _base_apply(cfg, moe_aux))
 
     def _cast(tree):
         if compute_dtype is None:
@@ -81,18 +121,34 @@ def make_train_step(
     def loss_fn(params, batch, key):
         ksig, keps = jax.random.split(key)
         b = batch.shape[0]
-        # log-uniform sigmas
-        u = jax.random.uniform(ksig, (b,), batch.dtype)
-        sigma = jnp.exp(
-            jnp.log(sigma_min) + u * (jnp.log(sigma_max) - jnp.log(sigma_min))
-        )
         eps = jax.random.normal(keps, batch.shape, batch.dtype)
-        noised = batch + sigma.reshape(-1, 1, 1, 1) * eps
-        c_in = (1.0 / jnp.sqrt(1.0 + sigma**2)).reshape(-1, 1, 1, 1)
-        eps_hat = apply(_cast(params), noised * c_in, sigma, apply_cfg)
+        u = jax.random.uniform(ksig, (b,), batch.dtype)
+        if objective == "flow":
+            # t in (0, 1] (t=0 is degenerate: zero noise, zero signal to
+            # match); SD3-style resolution shift warps the density
+            from ..cfg.model_sampling import time_snr_shift
+
+            t = time_snr_shift(flow_shift, 1.0 - u * (1.0 - 1e-4))
+            t4 = t.reshape(-1, 1, 1, 1)
+            net_in = (1.0 - t4) * batch + t4 * eps
+            cond = t * timestep_multiplier
+            target = eps - batch
+        else:
+            # log-uniform sigmas, EDM input scaling
+            sigma = jnp.exp(jnp.log(sigma_min)
+                            + u * (jnp.log(sigma_max) - jnp.log(sigma_min)))
+            s4 = sigma.reshape(-1, 1, 1, 1)
+            net_in = (batch + s4 * eps) / jnp.sqrt(1.0 + s4**2)
+            cond = sigma
+            target = eps
+        out = apply(_cast(params), net_in, cond, apply_cfg)
+        aux = 0.0
+        if moe_aux:
+            out, aux = out
         # the loss reduces in float32 regardless of compute precision
-        return jnp.mean((eps_hat.astype(jnp.float32)
-                         - eps.astype(jnp.float32)) ** 2)
+        return (jnp.mean((out.astype(jnp.float32)
+                          - target.astype(jnp.float32)) ** 2)
+                + aux_weight * aux)
 
     def train_step(params, opt_state, batch, key):
         loss, grads = jax.value_and_grad(loss_fn)(params, batch, key)

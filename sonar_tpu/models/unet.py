@@ -310,10 +310,21 @@ def make_denoiser(
     *,
     block_patches: dict[str, list[Callable]] | None = None,
     params_kwarg: str = "params",
+    prediction="eps",
+    timestep_fn: Callable | None = None,
 ) -> Callable:
-    """Wrap the eps-prediction UNet into the sampler's denoiser protocol
-    ``model(x, sigma_batch) -> denoised`` with EDM-style input scaling
-    (c_in = 1/sqrt(1+sigma^2), denoised = x - sigma * eps_hat).
+    """Wrap the UNet into the sampler's denoiser protocol
+    ``model(x, sigma_batch) -> denoised``.
+
+    ``prediction`` names what the raw network output means (see
+    :mod:`sonar_tpu.models.prediction`): ``"eps"`` (default — EDM-style
+    c_in = 1/sqrt(1+sigma^2), denoised = x - sigma * out), ``"v"``,
+    ``"x0"``, or ``"const"``/``"flow"`` for rectified-flow models.
+
+    ``timestep_fn`` maps the (B,)-shaped sigma batch to the value the
+    network is conditioned on (default: sigma itself). Flow-family models
+    are conventionally conditioned on ``sigma * 1000``
+    (``cfg.Flow().timestep``) — training and inference must agree.
 
     ``params_kwarg`` names the call-time weight-override argument
     (``extra_args={"params": p}`` by default). CAUTION: extra_args reaches
@@ -321,6 +332,9 @@ def make_denoiser(
     weight trees must use distinct names (e.g. ``params_kwarg="uncond_params"``
     for the uncond side) — a shared "params" override would silently feed
     both sides the same weights and collapse CFG to a no-op."""
+    from .prediction import get_prediction
+
+    pred = get_prediction(prediction)
 
     def model(x, sigma, **kw):
         # accept params as a call-time argument (extra_args={"params": p})
@@ -330,8 +344,10 @@ def make_denoiser(
         if p is None:
             p = params
         sb = jnp.broadcast_to(jnp.asarray(sigma, x.dtype).reshape(-1), (x.shape[0],))
-        c_in = (1.0 / jnp.sqrt(1.0 + sb**2)).reshape(-1, 1, 1, 1)
-        eps = unet_apply(p, x * c_in, sb, cfg, block_patches=block_patches)
-        return x - sb.reshape(-1, 1, 1, 1) * eps
+        s4 = sb.reshape(-1, 1, 1, 1)
+        cond = sb if timestep_fn is None else timestep_fn(sb)
+        out = unet_apply(p, pred.calculate_input(s4, x), cond, cfg,
+                         block_patches=block_patches)
+        return pred.calculate_denoised(s4, out, x)
 
     return model

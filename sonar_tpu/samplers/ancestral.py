@@ -24,3 +24,30 @@ def get_ancestral_step(sigma, sigma_next, eta: float = 1.0):
     )
     sigma_down = jnp.sqrt(sigma_next**2 - sigma_up**2)
     return sigma_down, sigma_up
+
+
+def get_ancestral_step_rf(sigma, sigma_next, eta: float = 1.0):
+    """Rectified-flow ancestral split → (sigma_down, sigma_up, alpha_ratio).
+
+    For flow models sigma is the interpolation time of
+    ``x = (1-sigma)*x0 + sigma*noise``, so the VP-style split above is
+    wrong — the noise a step removes lives in BOTH coefficients. The RF
+    split steps to ``sigma_down = sigma_next * (1 + (sigma_next/sigma - 1)
+    * eta)``, rescales the latent by ``alpha_ratio = (1-sigma_next)/
+    (1-sigma_down)`` and re-injects ``sigma_up = sqrt(sigma_next^2 -
+    sigma_down^2 * alpha_ratio^2)`` of fresh noise — chosen so the
+    marginal at sigma_next is exact when the model is. eta=0 reduces to
+    (sigma_next, 0, 1): the deterministic flow ODE step."""
+    if not eta:
+        one = jnp.ones_like(sigma_next)
+        return sigma_next, jnp.zeros_like(sigma_next), one
+    ratio = 1.0 + (sigma_next / sigma - 1.0) * eta
+    sigma_down = sigma_next * ratio
+    # alpha_down = 0 only if sigma_down = 1, i.e. a no-op first step at
+    # sigma = sigma_next = 1 — guard the division, the result is unused
+    # there (sigma_up = 0)
+    alpha_down = jnp.maximum(1.0 - sigma_down, 1e-10)
+    alpha_ratio = (1.0 - sigma_next) / alpha_down
+    sigma_up = jnp.sqrt(
+        jnp.maximum(sigma_next**2 - sigma_down**2 * alpha_ratio**2, 0.0))
+    return sigma_down, sigma_up, alpha_ratio

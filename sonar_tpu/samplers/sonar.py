@@ -27,7 +27,7 @@ import jax.numpy as jnp
 from ..core.rng import derive_key, key_from_seed
 from ..noise.base import NoiseItem, make_noise_sampler
 from ..noise.presets import get_noise_item
-from .ancestral import get_ancestral_step, to_d
+from .ancestral import get_ancestral_step, get_ancestral_step_rf, to_d
 from .guidance import guidance_step, prepare_ref_latent
 from .momentum import (
     SonarConfig,
@@ -223,6 +223,7 @@ def sample_sonar_euler_ancestral(
     callback=None,
     method: str = "scan",
     use_fused: bool | None = None,
+    ancestral_mode: str = "vp",
     resume_from=None,
     start_step: int = 0,
     stop_step: int | None = None,
@@ -233,7 +234,18 @@ def sample_sonar_euler_ancestral(
     ``use_fused`` routes the momentum chain + noise injection through the
     single-pass Pallas kernel (SURVEY §2.9 items 1-2) when the config
     qualifies; ``None`` auto-enables on TPU.
+
+    ``ancestral_mode="rf"`` switches the noise split to the rectified-flow
+    formula (samplers/ancestral.py:get_ancestral_step_rf) for CONST/flow
+    models, where sigma is interpolation time — the VP split (the
+    reference's only mode) over-noises flow latents. The momentum machinery
+    composes unchanged (the Euler-to-sigma_down part is identical); only
+    the re-noising differs. Extension beyond the reference.
     """
+    if ancestral_mode not in ("vp", "rf"):
+        raise ValueError(f"ancestral_mode must be 'vp' or 'rf', "
+                         f"got {ancestral_mode!r}")
+    rf = ancestral_mode == "rf"
     cfg = (sonar_config or SonarConfig()).updated(sonar_params)
     sigmas = jnp.asarray(sigmas)
     model_fn, noise_fn, noise_state, rand_init, ref_latent = _setup(
@@ -248,12 +260,18 @@ def sample_sonar_euler_ancestral(
     )
     from .momentum import check_step
 
-    fused = (use_pallas() if use_fused is None else use_fused) and _fused_eligible(cfg)
+    fused = ((use_pallas() if use_fused is None else use_fused)
+             and _fused_eligible(cfg) and not rf)
 
     def step_fn(carry, i):
         xc, mom, nstate = carry
         sigma, sigma_next = sigmas[i], sigmas[i + 1]
-        sigma_down, sigma_up = get_ancestral_step(sigma, sigma_next, eta=eta)
+        if rf:
+            sigma_down, sigma_up, alpha_ratio = get_ancestral_step_rf(
+                sigma, sigma_next, eta)
+        else:
+            sigma_down, sigma_up = get_ancestral_step(sigma, sigma_next, eta=eta)
+            alpha_ratio = None
         denoised = model_fn(xc, sigma)
         noise, nstate = noise_fn(nstate, i, sigma, sigma_next)
         if fused:
@@ -274,6 +292,8 @@ def sample_sonar_euler_ancestral(
             cfg, mom, xc, denoised, sigma, sigma_down, step=i, rand_init=rand_init
         )
         guided = guidance_step(cfg, i, out, denoised, sigma, sigma_next, ref_latent)
+        if alpha_ratio is not None:
+            guided = guided * alpha_ratio
         noisy = guided + noise * (s_noise * sigma_up)
         out = jnp.where(sigma_next > 0, noisy, out)
         return (out, mom, nstate), {"x": out, "sigma": sigma, "sigma_hat": sigma,
