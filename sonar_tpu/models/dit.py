@@ -327,10 +327,12 @@ def make_dit_denoiser(params: dict, cfg: DiTConfig = DiTConfig(), *,
         p = kw.get(params_kwarg)
         if p is None:
             p = params
-        sb = jnp.broadcast_to(jnp.asarray(sigma, x.dtype).reshape(-1),
-                              (x.shape[0],))
-        s4 = sb.reshape(-1, 1, 1, 1)
-        cond = sb if timestep_fn is None else timestep_fn(sb)
+        # f32 conditioning (see models/unet.py:make_denoiser — a bf16 cast
+        # of sigma quantizes BEFORE the log the f32-angle embedding takes)
+        sb32 = jnp.broadcast_to(
+            jnp.asarray(sigma, jnp.float32).reshape(-1), (x.shape[0],))
+        s4 = sb32.astype(x.dtype).reshape(-1, 1, 1, 1)
+        cond = sb32 if timestep_fn is None else timestep_fn(sb32)
         xin = pred.calculate_input(s4, x)
         if pp_mesh is not None:
             out = dit_pp_apply(p, xin, cond, cfg, pp_mesh,

@@ -343,9 +343,14 @@ def make_denoiser(
         p = kw.get(params_kwarg)
         if p is None:
             p = params
-        sb = jnp.broadcast_to(jnp.asarray(sigma, x.dtype).reshape(-1), (x.shape[0],))
-        s4 = sb.reshape(-1, 1, 1, 1)
-        cond = sb if timestep_fn is None else timestep_fn(sb)
+        # conditioning stays float32: casting sigma to bf16 loses ~0.4%
+        # RELATIVE precision BEFORE the log inside _sigma_embedding — an
+        # error the f32-angle computation cannot recover (~1 rad in the
+        # top Fourier band). Latent arithmetic uses x.dtype as before.
+        sb32 = jnp.broadcast_to(
+            jnp.asarray(sigma, jnp.float32).reshape(-1), (x.shape[0],))
+        s4 = sb32.astype(x.dtype).reshape(-1, 1, 1, 1)
+        cond = sb32 if timestep_fn is None else timestep_fn(sb32)
         out = unet_apply(p, pred.calculate_input(s4, x), cond, cfg,
                          block_patches=block_patches)
         return pred.calculate_denoised(s4, out, x)

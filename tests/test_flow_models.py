@@ -397,6 +397,56 @@ class TestDenoiserPredictionWiring:
         np.testing.assert_allclose(np.asarray(den(x, sig)), np.asarray(want),
                                    rtol=1e-5, atol=1e-6)
 
+    def test_bf16_latents_keep_f32_conditioning(self, rng, monkeypatch):
+        # casting sigma to the latent dtype (bf16) quantizes it BEFORE the
+        # log inside the sigma embedding — an error the f32-angle path
+        # can't undo. The wrapper must pass the network an f32 conditioning
+        # value bit-exact to the requested sigma, even for bf16 latents.
+        import sonar_tpu.models.dit as dit_mod
+        import sonar_tpu.models.unet as unet_mod
+        from sonar_tpu.models.unet import make_denoiser
+
+        cfg, params = self._tiny_unet()
+        den = make_denoiser(params, cfg)
+        x = jnp.asarray(_rand(rng, (1, 4, 8, 8))).astype(jnp.bfloat16)
+        s_lo = 1.0 + 2.0**-9  # NOT representable in bf16 (rounds to 1.0)
+        seen = {}
+        real_unet = unet_mod.unet_apply
+
+        def spy_unet(p, xin, cond, c, **kw):
+            seen["cond"] = cond
+            seen["xin_dtype"] = xin.dtype
+            return real_unet(p, xin, cond, c, **kw)
+
+        monkeypatch.setattr(unet_mod, "unet_apply", spy_unet)
+        out = den(x, jnp.asarray([s_lo], jnp.float32))
+        assert out.dtype == jnp.bfloat16  # latent arithmetic stays bf16
+        assert seen["xin_dtype"] == jnp.bfloat16
+        assert seen["cond"].dtype == jnp.float32
+        assert float(seen["cond"][0]) == s_lo  # no bf16 round-trip
+
+        # the dit wrapper, through a flow timestep_fn (cond = sigma*1000)
+        from sonar_tpu.models.dit import (DiTConfig, init_dit_params,
+                                          make_dit_denoiser)
+
+        dcfg = DiTConfig(in_channels=4, hidden=32, depth=2, num_heads=2,
+                         patch_size=2)
+        dparams = init_dit_params(jax.random.key(3), dcfg)
+        dden = make_dit_denoiser(dparams, dcfg, prediction="flow",
+                                 timestep_fn=Flow().timestep)
+        real_dit = dit_mod.dit_apply
+
+        def spy_dit(p, xin, cond, c, **kw):
+            seen["dcond"] = cond
+            return real_dit(p, xin, cond, c, **kw)
+
+        monkeypatch.setattr(dit_mod, "dit_apply", spy_dit)
+        s = 0.5 + 2.0**-10  # collides with 0.5 in bf16
+        dout = dden(x, jnp.asarray([s], jnp.float32))
+        assert dout.dtype == jnp.bfloat16
+        assert seen["dcond"].dtype == jnp.float32
+        assert float(seen["dcond"][0]) == s * 1000.0
+
     def test_dit_const_prediction(self, rng):
         from sonar_tpu.models.dit import (DiTConfig, dit_apply,
                                           init_dit_params, make_dit_denoiser)
