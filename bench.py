@@ -629,7 +629,20 @@ def bench_proxy_config3_per_call_ms() -> float:
     return _config3_per_call_ms(_proxy_setup())
 
 
+def bench_tpu_probe() -> float:
+    """Pre-flight tunnel liveness: backend init + a tiny jitted matmul +
+    a FORCED one-element host readback. Returns 8.0 on a live device.
+    Backend init blocks indefinitely when the tunnel is down (observed
+    2026-08-17..19 outage), so main() runs this first in its own killable
+    subprocess — a failed probe routes the run to the CPU-only metrics
+    instead of burning the whole budget on children blocked in claim."""
+    x = jnp.ones((8, 8), jnp.float32)
+    y = jax.jit(lambda a: a @ a)(x)
+    return float(jax.device_get(y)[0, 0])
+
+
 _SINGLE = {
+    "probe": bench_tpu_probe,
     "sampler": bench_sampler_steps_per_sec,
     "sampler_b8": bench_sampler_b8,
     "dit_sampler": bench_dit_sampler_steps_per_sec,
@@ -943,6 +956,7 @@ def _emit(r, timings):
                 _rnd(r.get("fused_highres_ab"), 4),
             "noise_pyramid_hw_rng_mpix_per_sec": _rnd(r.get("noise_hw")),
             "hw_rng_pyramid_speedup_ratio": _rnd(r.get("hw_ab"), 4),
+            "tunnel_probe": r.get("_tunnel", "skipped"),
             "backend": _backend_label(),
             "metric_seconds": {k: round(v, 1) for k, v in timings.items()},
         },
@@ -989,7 +1003,29 @@ def main():
 
     reserve = 10.0  # always keep time to print
     try:
-        for name in _CORE + _EXTRAS:
+        # pre-flight tunnel probe (own subprocess, killable). A live
+        # tunnel answers the tiny-matmul round trip in well under a
+        # minute; a dead one blocks in backend init until the timeout.
+        # On failure, fall back to the metrics that never touch the
+        # device (the torch-CPU anchors) so the JSON still carries real
+        # numbers instead of all-nulls.
+        env_probe = float(os.environ.get("SONAR_BENCH_PROBE_S", "240"))
+        plan = _CORE + _EXTRAS
+        probe_tmo = min(env_probe,
+                        budget - (time.monotonic() - t0) - reserve)
+        # with the default probe window, under ~30s of budget a real
+        # probe can't even finish backend init — skip it (the per-metric
+        # _MIN_LAUNCH gates handle tiny budgets); an explicit env value
+        # is trusted as-is (tests use short probes)
+        if env_probe > 0 and probe_tmo >= min(30.0, env_probe):
+            t_m = time.monotonic()
+            value, killed = _run_one("probe", probe_tmo)
+            timings["probe"] = time.monotonic() - t_m
+            results["_tunnel"] = "ok" if value is not None else "unreachable"
+            if value is None:
+                plan = [n for n in plan
+                        if n in ("anchor", "voronoi_anchor")]
+        for name in plan:
             remaining = budget - (time.monotonic() - t0) - reserve
             if remaining < _MIN_LAUNCH.get(name, 30):
                 continue

@@ -170,3 +170,41 @@ def test_sdxl_metric_functions_execute_at_tiny_scale():
 
     np.testing.assert_array_equal(np.asarray(sig_a), np.asarray(sig_b))
     np.testing.assert_array_equal(np.asarray(x_a), np.asarray(x_b))
+
+
+def test_probe_failure_falls_back_to_cpu_anchors():
+    """Dead tunnel + room in the budget: the pre-flight probe must fail
+    fast and route the run to the torch-CPU anchor metrics, so the JSON
+    carries real numbers (not all-nulls) within ~one probe window
+    (2026-08-17..19 outage: every TPU child blocks in claim forever)."""
+    import os
+
+    r = subprocess.run(
+        [sys.executable, f"{_REPO}/bench.py"], capture_output=True,
+        text=True, timeout=170, cwd=_REPO,
+        env={**os.environ, "SONAR_BENCH_BUDGET_S": "150",
+             "SONAR_BENCH_PROBE_S": "8",
+             "PALLAS_AXON_POOL_IPS": "10.255.255.1"})
+    assert r.returncode == 0, r.stderr[-500:]
+    lines = [l for l in r.stdout.splitlines() if l.startswith("{")]
+    payload = json.loads(lines[-1])
+    assert payload["extra"]["tunnel_probe"] == "unreachable"
+    # the anchor never touches the device — it must have landed
+    assert payload["extra"]["torch_cpu_anchor_mpix_per_sec"] is not None
+    # no TPU metric was attempted after the failed probe
+    assert payload["value"] is None
+    assert set(payload["extra"]["metric_seconds"]) <= {
+        "probe", "anchor", "voronoi_anchor"}
+
+
+def test_probe_success_reports_ok():
+    """Live backend (CPU platform): the probe lands, reports ok, and the
+    run proceeds to the normal gated plan."""
+    r = subprocess.run(
+        [sys.executable, "bench.py"], capture_output=True, text=True,
+        cwd=_REPO, timeout=170,
+        env=_cpu_env({"SONAR_BENCH_BUDGET_S": "60",
+                      "SONAR_BENCH_PROBE_S": "60"}))
+    assert r.returncode == 0, r.stderr[-500:]
+    data = json.loads(r.stdout.strip().splitlines()[-1])
+    assert data["extra"]["tunnel_probe"] == "ok"
