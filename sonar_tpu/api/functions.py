@@ -47,13 +47,12 @@ def noisy_latent_like(
             raise ValueError(
                 "noisy_latent_like requires model_sampling when sigmas are passed!"
             )
+        from ..cfg.model_sampling import max_denoise
+
         first_sigma = float(sigmas[0])
-        model_sigma_max = float(model_sampling.sigma_max)
-        max_denoise = (
-            math.isclose(model_sigma_max, first_sigma, rel_tol=1e-05)
-            or first_sigma > model_sigma_max
-        )
-        strength = math.sqrt(1.0 + first_sigma**2) if max_denoise else first_sigma
+        strength = (math.sqrt(1.0 + first_sigma**2)
+                    if max_denoise(model_sampling, first_sigma)
+                    else first_sigma)
         multiplier *= strength / latent_scale_factor
     if sigmas is not None and sigmas.size > 1:
         pos = sigmas[sigmas > 0]

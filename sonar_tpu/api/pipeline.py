@@ -193,9 +193,25 @@ class SonarPipeline:
         # opaque **kwargs sampler may not understand it).
         from ..cfg.model_sampling import Flow
 
-        if (isinstance(self.model_sampling, Flow)
-                and accepts is not None and "ancestral_mode" in accepts):
-            call_kwargs.setdefault("ancestral_mode", "rf")
+        if isinstance(self.model_sampling, Flow) and accepts is not None:
+            if "ancestral_mode" in accepts:
+                call_kwargs.setdefault("ancestral_mode", "rf")
+            elif {"eta", "s_noise"} & set(accepts):
+                # noise-injecting sampler with no RF knob (sonar_dpmpp_sde,
+                # restart): its VP-style noise magnitudes over-noise flow
+                # latents off the (1-sigma)*x0 + sigma*noise marginal —
+                # exactly what ancestral_mode='rf' exists to fix. Don't
+                # fail (the schedule may still be usable at low eta), but
+                # never do it silently.
+                import warnings
+
+                warnings.warn(
+                    f"Flow model_sampling with sampler "
+                    f"{getattr(self.sampler, '__name__', self.sampler)!r}: "
+                    "this sampler injects VP-style noise and has no "
+                    "ancestral_mode='rf' support — flow latents will be "
+                    "over-noised. Prefer sonar_euler_ancestral, or eta=0.",
+                    stacklevel=3)
         if self.fused_noise is None:
             return self.sampler(denoiser, x0, sigmas, **call_kwargs)
         # the fused-kernel flag is read at TRACE time by the pyramid
@@ -232,27 +248,32 @@ class SonarPipeline:
         misc.py:99-106); flow models interpolate
         ``sigma0*noise + (1-sigma0)*latent``. ``prediction`` overrides the
         default (CONST for Flow model_sampling, EPS otherwise)."""
-        import math
+        from ..cfg.model_sampling import max_denoise
 
         pred = self._prediction(prediction)
         sigmas = np.asarray(sigmas, np.float32)
         s0 = float(sigmas[0])
-        max_denoise = (
-            math.isclose(float(self.model_sampling.sigma_max), s0,
-                         rel_tol=1e-05)
-            or s0 > float(self.model_sampling.sigma_max))
-        return pred.noise_scaling(jnp.float32(s0), noise, latent,
-                                  max_denoise=max_denoise)
+        return pred.noise_scaling(
+            jnp.float32(s0), noise, latent,
+            max_denoise=max_denoise(self.model_sampling, s0))
 
     def finalize_latent(self, samples, sigmas, *, prediction=None):
         """Undo latent-side scaling at the END sigma — identity for EPS
         and for any schedule ending at 0; ``latent / (1 - sigma_end)`` for
         flow models stopped early (ComfyUI's inverse_noise_scaling call
         after sampling)."""
+        from ..models.prediction import CONST
+
         pred = self._prediction(prediction)
         sigmas = np.asarray(sigmas, np.float32)
-        return pred.inverse_noise_scaling(jnp.float32(float(sigmas[-1])),
-                                          samples)
+        s_end = float(sigmas[-1])
+        if isinstance(pred, CONST) and s_end >= 1.0 - 1e-6:
+            raise ValueError(
+                f"finalize_latent: flow inverse scaling divides by "
+                f"(1 - sigma_end) but the schedule ends at {s_end} — "
+                "the latent is still (nearly) pure noise; sample further "
+                "before finalizing")
+        return pred.inverse_noise_scaling(jnp.float32(s_end), samples)
 
     def jit(self) -> Callable:
         """A jitted ``fn(x0, sigmas, *, extra_args=None, **static_kwargs) ->

@@ -84,6 +84,19 @@ class ContinuousEDM:
         return float(np.exp(hi + (lo - hi) * percent))
 
 
+def max_denoise(model_sampling, sigma0) -> bool:
+    """ComfyUI's max-denoise rule (reference misc.py:99-106): the entry
+    sigma counts as "full denoise" when it reaches the model's sigma_max
+    within 1e-5 relative tolerance, or exceeds it. Shared by
+    api.functions.noisy_latent_like and SonarPipeline.prepare_latent so
+    the tolerance can never silently diverge between the two."""
+    import math
+
+    m = float(model_sampling.sigma_max)
+    s0 = float(sigma0)
+    return math.isclose(m, s0, rel_tol=1e-05) or s0 > m
+
+
 def time_snr_shift(alpha: float, t):
     """Resolution-shifted flow time: ``alpha*t / (1 + (alpha-1)*t)``.
 

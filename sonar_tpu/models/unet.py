@@ -252,16 +252,24 @@ def unet_apply(
     cfg: UNetConfig = UNetConfig(),
     *,
     block_patches: dict[str, list[Callable]] | None = None,
+    patch_sigma: jax.Array | None = None,
 ) -> jax.Array:
     """Predict epsilon for latent ``x`` (B,C,H,W) at noise level ``sigma`` (B,).
 
     ``block_patches`` maps {"input","middle","output"} → list of patch fns,
     the hook surface FreeU-Extreme installs into
     (py/nodes/freeu_extreme.py:317-326).
+
+    ``patch_sigma`` is what the patches see as ``ctx["sigma"]`` when the
+    network conditioning is NOT the raw sigma (flow models condition on
+    ``sigma * 1000`` via ``timestep_fn``, but FreeU/WCFG sigma windows are
+    defined over the true noise level — feeding them the scaled timestep
+    makes every window silently miss).
     """
     dt = cfg.dtype  # compute dtype (bf16 halves HBM traffic, doubles MXU)
     g = cfg.norm_groups
-    ctx = {"sigma": sigma, "cfg": cfg}
+    ctx = {"sigma": sigma if patch_sigma is None else patch_sigma,
+           "cfg": cfg}
     emb = _dense(
         params["time_mlp"]["fc2"],
         _silu(_dense(params["time_mlp"]["fc1"], _sigma_embedding(sigma, cfg.model_channels, dt))),
@@ -351,8 +359,9 @@ def make_denoiser(
             jnp.asarray(sigma, jnp.float32).reshape(-1), (x.shape[0],))
         s4 = sb32.astype(x.dtype).reshape(-1, 1, 1, 1)
         cond = sb32 if timestep_fn is None else timestep_fn(sb32)
+        # patches always see the TRUE sigma, never the scaled timestep
         out = unet_apply(p, pred.calculate_input(s4, x), cond, cfg,
-                         block_patches=block_patches)
+                         block_patches=block_patches, patch_sigma=sb32)
         return pred.calculate_denoised(s4, out, x)
 
     return model

@@ -42,10 +42,18 @@ def get_ancestral_step_rf(sigma, sigma_next, eta: float = 1.0):
         one = jnp.ones_like(sigma_next)
         return sigma_next, jnp.zeros_like(sigma_next), one
     ratio = 1.0 + (sigma_next / sigma - 1.0) * eta
-    sigma_down = sigma_next * ratio
-    # alpha_down = 0 only if sigma_down = 1, i.e. a no-op first step at
-    # sigma = sigma_next = 1 — guard the division, the result is unused
-    # there (sigma_up = 0)
+    # descending schedules give ratio <= 1 so sigma_down <= sigma_next < 1;
+    # an ASCENDING pair (restart-style jumps, user schedules) gives
+    # ratio > 1 and can push sigma_down past 1, where the alpha_down
+    # division explodes (~1e9 x latent). The split is undefined there —
+    # clamp to the deterministic step (sigma_down = sigma_next, no noise),
+    # matching the eta=0 behavior for that pair.
+    # (lower clamp: eta > 1 can drive ratio negative — floor at 0)
+    sigma_down = jnp.clip(sigma_next * ratio, 0.0, sigma_next)
+    # alpha_down = 0 only if sigma_down = 1, i.e. sigma = sigma_next = 1:
+    # then alpha_ratio = 0 and sigma_up = sigma_next — the step discards
+    # the latent and re-draws pure noise, which IS the exact marginal at
+    # flow time 1. Guard only the division.
     alpha_down = jnp.maximum(1.0 - sigma_down, 1e-10)
     alpha_ratio = (1.0 - sigma_next) / alpha_down
     sigma_up = jnp.sqrt(

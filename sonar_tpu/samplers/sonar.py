@@ -260,6 +260,11 @@ def sample_sonar_euler_ancestral(
     )
     from .momentum import check_step
 
+    if use_fused and rf:
+        raise ValueError(
+            "use_fused=True is not supported with ancestral_mode='rf' "
+            "(the fused momentum kernel bakes the VP noise injection); "
+            "leave use_fused=None to auto-select the unfused path")
     fused = ((use_pallas() if use_fused is None else use_fused)
              and _fused_eligible(cfg) and not rf)
 

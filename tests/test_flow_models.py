@@ -657,3 +657,119 @@ class TestPipelineFlowRouting:
         out = pipe(x1, _flow_schedule(8))
         np.testing.assert_allclose(np.asarray(out), np.asarray(c),
                                    rtol=1e-4, atol=1e-5)
+
+
+# ----------------------------------------------- review-wave regressions
+
+
+class TestFlowReviewRegressions:
+    def _tiny_unet(self):
+        from sonar_tpu.models.unet import UNetConfig, init_unet_params
+
+        cfg = UNetConfig(in_channels=4, model_channels=16, channel_mult=(1,),
+                         num_res_blocks=1, attention_levels=())
+        return cfg, init_unet_params(jax.random.key(0), cfg)
+
+    def test_block_patches_see_true_sigma_under_flow(self, rng):
+        """FreeU/WCFG sigma windows are defined over the true noise level;
+        with timestep_fn set (flow UNets condition on sigma*1000) the
+        patches used to receive the SCALED timestep as ctx["sigma"], so
+        every window silently missed."""
+        from sonar_tpu.models.unet import make_denoiser
+
+        cfg, params = self._tiny_unet()
+        seen = []
+
+        def spy(h, ctx):
+            seen.append(ctx["sigma"])
+            return h
+
+        den = make_denoiser(params, cfg, prediction="flow",
+                            timestep_fn=Flow().timestep,
+                            block_patches={"input": [spy]})
+        x = jnp.asarray(_rand(rng, (2, 4, 8, 8)))
+        den(x, jnp.asarray([0.5, 0.5], jnp.float32))
+        assert seen, "patch never ran"
+        np.testing.assert_allclose(np.asarray(seen[0]), [0.5, 0.5],
+                                   rtol=1e-6)
+
+    def test_freeu_windows_fire_under_flow(self, rng):
+        """End-to-end: a FreeU config windowed over flow sigmas must
+        actually modify the forward (it was inert pre-fix)."""
+        from sonar_tpu.cfg.freeu import FreeUExtremeConfig, make_freeu_patches
+        from sonar_tpu.models.unet import make_denoiser
+        from sonar_tpu.noise.power import PowerFilter
+
+        cfg, params = self._tiny_unet()
+        ms = Flow()
+        fcfg = FreeUExtremeConfig(
+            target="both", stage_1=True, stage_2=True, stage_3=True,
+            scale=1.5, slice=0.75, start=0.0, end=1.0,
+            sonar_power_filter=PowerFilter(alpha=0.5))
+        patches = make_freeu_patches(
+            model_sampling=ms, model_channels=cfg.model_channels,
+            input_config=fcfg, middle_config=fcfg, output_config=fcfg)
+        plain = make_denoiser(params, cfg, prediction="flow",
+                              timestep_fn=ms.timestep)
+        patched = make_denoiser(params, cfg, prediction="flow",
+                                timestep_fn=ms.timestep,
+                                block_patches=patches)
+        x = jnp.asarray(_rand(rng, (1, 4, 8, 8)))
+        sig = jnp.asarray([0.5], jnp.float32)
+        assert not np.allclose(np.asarray(plain(x, sig)),
+                               np.asarray(patched(x, sig)))
+
+    def test_rf_step_ascending_pair_clamps_to_deterministic(self):
+        """sigma_next > sigma would push sigma_down past 1 and explode
+        alpha_ratio (~1e9 x latent); the split is undefined there and must
+        degrade to the deterministic step instead."""
+        down, up, ar = get_ancestral_step_rf(
+            jnp.float32(0.5), jnp.float32(0.9), 1.0)
+        np.testing.assert_allclose(float(down), 0.9, rtol=1e-6)
+        np.testing.assert_allclose(float(up), 0.0, atol=1e-6)
+        np.testing.assert_allclose(float(ar), 1.0, rtol=1e-6)
+
+    def test_rf_step_at_sigma_one_redraws_noise(self):
+        """sigma = sigma_next = 1 (flow time 1): the exact marginal is
+        pure noise — alpha_ratio must be 0 and sigma_up = sigma_next."""
+        down, up, ar = get_ancestral_step_rf(
+            jnp.float32(1.0), jnp.float32(1.0), 1.0)
+        np.testing.assert_allclose(float(ar), 0.0, atol=1e-9)
+        np.testing.assert_allclose(float(up), 1.0, rtol=1e-6)
+
+    def test_use_fused_with_rf_raises(self, rng):
+        c = jnp.asarray(_rand(rng))
+        with pytest.raises(ValueError, match="use_fused"):
+            sample_sonar_euler_ancestral(
+                _point_mass_model(c), jnp.asarray(_rand(rng)),
+                jnp.asarray(_flow_schedule(4)), seed=1,
+                ancestral_mode="rf", use_fused=True)
+
+    def test_flow_pipeline_warns_on_vp_only_sampler(self, rng):
+        """dpmpp_sde injects VP-style noise and has no RF knob — a Flow
+        pipeline must say so instead of silently over-noising."""
+        import warnings
+
+        from sonar_tpu.api.pipeline import SonarPipeline
+
+        c = jnp.asarray(_rand(rng))
+        pipe = SonarPipeline(model=_point_mass_model(c),
+                             sampler="sonar_dpmpp_sde",
+                             model_sampling=Flow(), seed=3)
+        with pytest.warns(UserWarning, match="over-noised"):
+            pipe(jnp.asarray(_rand(rng)), _flow_schedule(5))
+        # the plain-euler (noise-free) sampler stays silent
+        pipe2 = SonarPipeline(model=_point_mass_model(c),
+                              sampler="sonar_euler", sonar_config=PLAIN,
+                              model_sampling=Flow())
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            pipe2(jnp.asarray(_rand(rng)), _flow_schedule(5))
+
+    def test_finalize_latent_at_sigma_one_raises(self, rng):
+        from sonar_tpu.api.pipeline import SonarPipeline
+
+        pipe = SonarPipeline(model=lambda x, s, **kw: x,
+                             model_sampling=Flow())
+        with pytest.raises(ValueError, match="sigma_end"):
+            pipe.finalize_latent(jnp.asarray(_rand(rng)), [1.0])
