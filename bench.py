@@ -667,12 +667,16 @@ _SINGLE = {
 # remote-compile relay, which does NOT honor the persistent compilation
 # cache — measured ~795s per SDXL metric EVERY run (BENCH validation,
 # 2026-08-17); first pallas remote-compiles also take minutes.
+# Batched-CFG programs compile 6-10x SLOWER than the pair programs despite
+# 0.56x the HLO ops (measured 2026-08-19: proxy pair 115s, proxy batched
+# >700s timeout, TWICE — profiles/ANALYSIS.md §13 addendum), so the
+# batched metrics get large ceilings and run LAST among the extras.
 _TIMEOUTS = {"sdxl_euler": 1200, "sdxl_config3": 1200,
-             "sdxl_euler_batched": 1200, "sdxl_euler_bf16": 1200,
-             "sdxl_euler_fast": 1200,
+             "sdxl_euler_batched": 2400, "sdxl_euler_bf16": 1200,
+             "sdxl_euler_fast": 2400,
              "proxy_euler": 560, "proxy_config3": 560,
-             "proxy_euler_batched": 560, "proxy_euler_bf16": 560,
-             "proxy_euler_fast": 560, "proxy_config3_fast": 700,
+             "proxy_euler_batched": 1500, "proxy_euler_bf16": 560,
+             "proxy_euler_fast": 1500, "proxy_config3_fast": 1500,
              "noise_fused": 900,
              "noise_bulk_fused": 900, "fused_ab": 900,
              "fused_old_ab": 900, "fused_highres_ab": 900, "hw_ab": 900}
@@ -774,23 +778,27 @@ _SINGLE["voronoi_anchor"] = bench_voronoi_torch_anchor
 # pyramid Mpix/s, torch anchor, config3 overhead), then extras
 _CORE = ["sampler", "noise", "anchor", "proxy_euler", "proxy_config3",
          "sdxl_euler", "sdxl_config3"]
-_EXTRAS = ["proxy_euler_batched", "proxy_euler_fast", "proxy_config3_fast",
-           "proxy_euler_bf16",
-           "sdxl_euler_fast", "sdxl_euler_batched", "sdxl_euler_bf16",
+# Batched-CFG (model_batched) metrics run LAST: their relay compiles
+# measured >700s at proxy scale (2026-08-19, twice) — a kill mid-compile
+# can wedge the tunnel for the following child, so they must not sit in
+# front of the cheap reliable extras.
+_EXTRAS = ["proxy_euler_bf16", "sdxl_euler_bf16",
            "voronoi", "voronoi_anchor", "sampler_b8", "dit_sampler",
            "power", "noise_bulk",
            "fused_old_ab", "fused_highres_ab", "fused_ab", "noise_fused",
-           "noise_bulk_fused", "hw_ab", "noise_hw"]
+           "noise_bulk_fused", "hw_ab", "noise_hw",
+           "proxy_euler_batched", "proxy_euler_fast", "proxy_config3_fast",
+           "sdxl_euler_fast", "sdxl_euler_batched"]
 
 # minimum plausible runtime — don't even launch a metric with less budget
 # (the SDXL metrics measured 795-900s wall each, dominated by the
 # uncacheable remote compile)
 _MIN_LAUNCH = {"sdxl_euler": 700, "sdxl_config3": 700,
-               "sdxl_euler_batched": 500, "sdxl_euler_bf16": 500,
-               "sdxl_euler_fast": 500,
+               "sdxl_euler_batched": 1500, "sdxl_euler_bf16": 500,
+               "sdxl_euler_fast": 1500,
                "proxy_euler": 300, "proxy_config3": 300,
-               "proxy_euler_batched": 200, "proxy_euler_bf16": 200,
-               "proxy_euler_fast": 200, "proxy_config3_fast": 300}
+               "proxy_euler_batched": 800, "proxy_euler_bf16": 200,
+               "proxy_euler_fast": 800, "proxy_config3_fast": 800}
 
 
 def _run_one(name: str, timeout: float):
