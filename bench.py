@@ -609,6 +609,93 @@ def bench_proxy_config3_fast_per_call_ms() -> float:
         _sdxl_batched_setup(_proxy_cfg(jnp.bfloat16), (1, 4, 64, 64)))
 
 
+def _config4_per_call_ms(setup, cfg) -> float:
+    """BASELINE config 4: per-band + per-orientation wavelet CFG plus
+    FreeU-Extreme block patches WITH in-model spectral filtering (the
+    +5.1%-at-SDXL data-movement floor, profiles/ANALYSIS.md §9)."""
+    from sonar_tpu.api import SonarPipeline
+    from sonar_tpu.cfg import (FreeUExtremeConfig, WaveletCFG, WCFGRules,
+                               make_freeu_patches)
+    from sonar_tpu.models import unet_apply
+    from sonar_tpu.noise.power import PowerFilter
+    from sonar_tpu.samplers import SonarConfig
+
+    _, _, ms, sigmas, x0, params = setup
+    frux = FreeUExtremeConfig(target="backbone", stage_1=True, scale=1.12,
+                              slice=0.75,
+                              sonar_power_filter=PowerFilter(alpha=0.4))
+    patches = make_freeu_patches(model_sampling=ms,
+                                 model_channels=cfg.model_channels,
+                                 input_config=frux, output_config=frux)
+
+    def cond_model(x, sb, params=None, **kw):
+        s = sb.reshape(-1, 1, 1, 1)
+        c_in = 1.0 / jnp.sqrt(1.0 + s**2)
+        return x - s * unet_apply(params, x * c_in, sb, cfg,
+                                  block_patches=patches)
+
+    def uncond_model(x, sb, params=None, **kw):
+        s = sb.reshape(-1, 1, 1, 1)
+        c_in = 1.0 / jnp.sqrt(1.0 + s**2)
+        return x - s * unet_apply(params, x * c_in * 0.97, sb, cfg)
+
+    rules = WCFGRules.build(
+        wave="db4", level=3, padding_mode="periodization",
+        high_precision_mode=False,
+        diff=dict(yl_scale=8.0,
+                  yh_scales=[[7.0, 6.5, 7.5], [6.0, 6.0, 7.0], "fill"],
+                  scales_end=dict(yl_scale=6.0, yh_scales=6.0),
+                  schedule="half_cosine", schedule_mode="sampling"))
+    pipe = SonarPipeline(model=cond_model, model_uncond=uncond_model,
+                         sampler="sonar_euler",
+                         sonar_config=SonarConfig(momentum=0.95),
+                         cfg_scale=7.0, wavelet_cfg=WaveletCFG(rules=rules),
+                         model_sampling=ms, seed=7)
+    return _time_pipeline(pipe, params, x0, sigmas, stages=1)
+
+
+def bench_proxy_config4_per_call_ms() -> float:
+    cfg = _proxy_cfg()
+    return _config4_per_call_ms(_sdxl_setup(cfg, (1, 4, 64, 64)), cfg)
+
+
+def bench_sdxl_config4_per_call_ms() -> float:
+    return _config4_per_call_ms(_sdxl_setup(), _sdxl_cfg())
+
+
+_VIDEO_SHAPE = (1, 4, 16, 128, 128)  # 16 frames at the 1024px-equiv latent
+
+
+def bench_video_noise_mpix(shape=_VIDEO_SHAPE, iters=20) -> float:
+    """BASELINE config 5: 16-frame 5D time-brownian power noise
+    (temporally correlated across the trajectory via the carried Brownian
+    endpoint state; frames fold into channels for the 4D-spatial item —
+    py/noise.py:2103-2104 recipe)."""
+    from sonar_tpu.noise import CustomNoiseParametersNoise
+    from sonar_tpu.noise.base import make_noise_sampler
+    from sonar_tpu.noise.power import PowerNoiseItem
+
+    item = CustomNoiseParametersNoise(
+        noise=PowerNoiseItem(alpha=0.5, min_freq=0.05, time_brownian=True),
+        frames_to_channels=True)
+    fn, state0 = make_noise_sampler(item, shape, seed=3, sigma_min=0.03,
+                                    sigma_max=14.6)
+
+    @jax.jit
+    def draw_many(state):
+        def body(st, _):
+            noise, st = fn(st, jnp.asarray(1.0), jnp.asarray(0.9))
+            return st, noise
+
+        return jax.lax.scan(body, state, None, length=iters)[1]
+
+    dt = _timeit_slope(draw_many, state0, g1=2, g2=8)
+    npix = 1
+    for d in shape:
+        npix *= d
+    return npix * iters / dt / 1e6
+
+
 def _proxy_setup():
     """Shrunk-SDXL proxy for the config-3 overhead pair: the full SDXL pair
     costs ~795s of UNCACHEABLE remote compile per metric (the tunnel relay
@@ -660,6 +747,9 @@ _SINGLE = {
     "proxy_euler_bf16": bench_proxy_euler_bf16_per_call_ms,
     "proxy_euler_fast": bench_proxy_euler_fast_per_call_ms,
     "proxy_config3_fast": bench_proxy_config3_fast_per_call_ms,
+    "proxy_config4": bench_proxy_config4_per_call_ms,
+    "sdxl_config4": bench_sdxl_config4_per_call_ms,
+    "video_noise": bench_video_noise_mpix,
 }
 
 # per-metric timeout ceilings, clamped to the remaining budget at launch.
@@ -672,9 +762,11 @@ _SINGLE = {
 # >700s timeout, TWICE — profiles/ANALYSIS.md §13 addendum), so the
 # batched metrics get large ceilings and run LAST among the extras.
 _TIMEOUTS = {"sdxl_euler": 1200, "sdxl_config3": 1200,
+             "sdxl_config4": 1300,
              "sdxl_euler_batched": 2400, "sdxl_euler_bf16": 1200,
              "sdxl_euler_fast": 2400,
              "proxy_euler": 560, "proxy_config3": 560,
+             "proxy_config4": 700, "video_noise": 400,
              "proxy_euler_batched": 1500, "proxy_euler_bf16": 560,
              "proxy_euler_fast": 1500, "proxy_config3_fast": 1500,
              "noise_fused": 900,
@@ -775,30 +867,39 @@ _SINGLE["voronoi_anchor"] = bench_voronoi_torch_anchor
 # ---------------------------------------------------------------------------
 
 # priority order: the VERDICT-required core first (sampler steps/s,
-# pyramid Mpix/s, torch anchor, config3 overhead), then extras
+# pyramid Mpix/s, torch anchor, config3/4 overhead at proxy scale, the
+# config-5 video-noise metric), then the big SDXL pair
 _CORE = ["sampler", "noise", "anchor", "proxy_euler", "proxy_config3",
+         "proxy_config4", "video_noise", "proxy_euler_bf16",
          "sdxl_euler", "sdxl_config3"]
 # Batched-CFG (model_batched) metrics run LAST: their relay compiles
 # measured >700s at proxy scale (2026-08-19, twice) — a kill mid-compile
 # can wedge the tunnel for the following child, so they must not sit in
-# front of the cheap reliable extras.
-_EXTRAS = ["proxy_euler_bf16", "sdxl_euler_bf16",
-           "voronoi", "voronoi_anchor", "sampler_b8", "dit_sampler",
+# front of the cheap reliable extras. The SDXL-scale batched variants are
+# OPT-IN (SONAR_BENCH_SDXL_BATCHED=1): extrapolating the 6-10x compile
+# blowup from the ~795s SDXL pair compile predicts 4770-7950s — beyond
+# any per-metric ceiling, and a guaranteed mid-compile kill risks wedging
+# the tunnel (ADVICE r3).
+_EXTRAS = ["dit_sampler", "voronoi", "voronoi_anchor", "sampler_b8",
            "power", "noise_bulk",
            "fused_old_ab", "fused_highres_ab", "fused_ab", "noise_fused",
            "noise_bulk_fused", "hw_ab", "noise_hw",
-           "proxy_euler_batched", "proxy_euler_fast", "proxy_config3_fast",
-           "sdxl_euler_fast", "sdxl_euler_batched"]
+           "sdxl_euler_bf16", "sdxl_config4",
+           "proxy_euler_fast", "proxy_config3_fast", "proxy_euler_batched"]
+_SDXL_BATCHED_EXTRAS = ["sdxl_euler_fast", "sdxl_euler_batched"]
 
 # minimum plausible runtime — don't even launch a metric with less budget
 # (the SDXL metrics measured 795-900s wall each, dominated by the
-# uncacheable remote compile)
-_MIN_LAUNCH = {"sdxl_euler": 700, "sdxl_config3": 700,
-               "sdxl_euler_batched": 1500, "sdxl_euler_bf16": 500,
-               "sdxl_euler_fast": 1500,
+# uncacheable remote compile; the proxy batched compiles hit a 700s
+# timeout twice, so their true floor is unknown — gate them near their
+# ceiling so a launch has a realistic chance of finishing, ADVICE r3)
+_MIN_LAUNCH = {"sdxl_euler": 700, "sdxl_config3": 700, "sdxl_config4": 800,
+               "sdxl_euler_batched": 2400, "sdxl_euler_bf16": 500,
+               "sdxl_euler_fast": 2400,
                "proxy_euler": 300, "proxy_config3": 300,
-               "proxy_euler_batched": 800, "proxy_euler_bf16": 200,
-               "proxy_euler_fast": 800, "proxy_config3_fast": 800}
+               "proxy_config4": 350, "video_noise": 100,
+               "proxy_euler_batched": 1400, "proxy_euler_bf16": 200,
+               "proxy_euler_fast": 1400, "proxy_config3_fast": 1400}
 
 
 def _run_one(name: str, timeout: float):
@@ -892,6 +993,40 @@ def _backend_label() -> str:
         return "unknown"
 
 
+def _mfu_extras(r) -> dict:
+    """MFU (% of v5e bf16 peak) derived at emit time from analytic
+    forward-FLOPs (models/flops.py) + the measured per-call ms — no extra
+    chip time. One 'model call' in the per-call metrics evaluates cond AND
+    uncond (as a pair or one doubled batch) = 2 UNet forwards; the DiT
+    sampler metric is steps/s with one forward per step. f32 programs are
+    reported against the same bf16 peak (the honest utilization number)."""
+    try:
+        from sonar_tpu.models import (DiTConfig, dit_forward_flops, mfu_pct,
+                                      unet_forward_flops)
+    except Exception:  # noqa: BLE001 — emit must never die on an import
+        return {}
+    sdxl_f = 2.0 * unet_forward_flops(_sdxl_cfg(), _SDXL_SHAPE)
+    proxy_f = 2.0 * unet_forward_flops(_proxy_cfg(), (1, 4, 64, 64))
+    dit_f = dit_forward_flops(
+        DiTConfig(hidden=384, depth=12, num_heads=6, patch_size=2),
+        (1, 4, 64, 64))
+    dit_steps = r.get("dit_sampler")
+    return {
+        "sdxl_euler_mfu_pct": _rnd(mfu_pct(sdxl_f, r.get("sdxl_euler")), 2),
+        "sdxl_euler_bf16_mfu_pct":
+            _rnd(mfu_pct(sdxl_f, r.get("sdxl_euler_bf16")), 2),
+        "sdxl_euler_fast_mfu_pct":
+            _rnd(mfu_pct(sdxl_f, r.get("sdxl_euler_fast")), 2),
+        "proxy_euler_mfu_pct": _rnd(mfu_pct(proxy_f, r.get("proxy_euler")), 2),
+        "proxy_euler_fast_mfu_pct":
+            _rnd(mfu_pct(proxy_f, r.get("proxy_euler_fast")), 2),
+        "dit_sampler_mfu_pct": _rnd(
+            None if dit_steps is None
+            else mfu_pct(dit_f, 1000.0 / dit_steps), 2),
+        "unet_sdxl_tflops_per_call": _rnd(sdxl_f / 1e12, 3),
+    }
+
+
 def _emit(r, timings):
     """The ONE JSON line, from whatever landed (None for missing)."""
     import sys
@@ -928,6 +1063,20 @@ def _emit(r, timings):
             "proxy_euler_per_call_ms": _rnd(peul),
             "proxy_config3_per_call_ms": _rnd(pc3),
             "config3_overhead_proxy_pct": _rnd(p_overhead, 2),
+            # BASELINE config 4 (FreeU-Extreme + per-orientation WCFG)
+            # vs the same euler baseline, proxy scale (driver artifact
+            # coverage — VERDICT r3 item 3); sdxl_config4 lands only
+            # when the budget allows a third ~800s compile
+            "proxy_config4_per_call_ms": _rnd(r.get("proxy_config4")),
+            "config4_overhead_proxy_pct": _rnd(
+                None if r.get("proxy_config4") is None or peul is None
+                else (r["proxy_config4"] - peul) / peul * 100.0, 2),
+            "sdxl_config4_per_call_ms": _rnd(r.get("sdxl_config4")),
+            "config4_overhead_pct": _rnd(
+                None if r.get("sdxl_config4") is None or eul is None
+                else (r["sdxl_config4"] - eul) / eul * 100.0, 2),
+            # BASELINE config 5: 16-frame 5D time-brownian power noise
+            "video_noise_mpix_per_sec": _rnd(r.get("video_noise")),
             # batched-CFG path (model_batched: ONE UNet instance in the
             # program instead of two) — compare per-call ms against the
             # pair metrics, and compile cost via metric_seconds
@@ -967,6 +1116,7 @@ def _emit(r, timings):
             "tunnel_probe": r.get("_tunnel", "skipped"),
             "backend": _backend_label(),
             "metric_seconds": {k: round(v, 1) for k, v in timings.items()},
+            **_mfu_extras(r),
         },
     }))
     sys.stdout.flush()
@@ -1019,6 +1169,8 @@ def main():
         # numbers instead of all-nulls.
         env_probe = float(os.environ.get("SONAR_BENCH_PROBE_S", "240"))
         plan = _CORE + _EXTRAS
+        if os.environ.get("SONAR_BENCH_SDXL_BATCHED", "0") != "0":
+            plan = plan + _SDXL_BATCHED_EXTRAS
         probe_tmo = min(env_probe,
                         budget - (time.monotonic() - t0) - reserve)
         # with the default probe window, under ~30s of budget a real

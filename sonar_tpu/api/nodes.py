@@ -72,6 +72,7 @@ from ..noise.voronoi import VoronoiGenerator
 from ..noise.wavelet import WaveletFilteredNoise, WaveletGenerator
 from ..samplers.momentum import GuidanceConfig, SonarConfig
 from .functions import (
+    get_sampler,
     noise_image,
     noisy_latent_like,
     sampler_config_override,
@@ -782,6 +783,16 @@ def polyexponential_scheduler(*, steps=20, sigma_max=14.614642,
     from ..samplers.schedules import polyexponential_sigmas
 
     return polyexponential_sigmas(steps, sigma_min, sigma_max, rho=rho)
+
+
+@register_node("KSamplerSelect")
+def ksampler_select(*, sampler_name):
+    """ComfyUI core sampler selector, resolved against the native sampler
+    registry (sonar_* + restart + the plain k-diffusion set,
+    samplers/kdiffusion.py) so workflows that wrap a host sampler in
+    SamplerConfigOverride execute end-to-end — the reference corpus
+    samples with dpmpp_2s_ancestral (docs/base_noise_types.md:3-9)."""
+    return get_sampler(sampler_name)
 
 
 @register_node("SonarToComfyNOISE")

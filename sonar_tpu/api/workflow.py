@@ -39,7 +39,7 @@ __all__ = ["read_png_metadata", "read_workflow", "port_workflow",
 SAMPLER_NODE_CLASSES = frozenset({
     "SamplerSonarEuler", "SamplerSonarEulerA", "SamplerSonarDPMPPSDE",
     "SamplerConfigOverride", "KRestartSamplerCustomNoise",
-    "RestartSamplerCustomNoise",
+    "RestartSamplerCustomNoise", "KSamplerSelect",
 })
 
 
@@ -292,14 +292,19 @@ def pipeline_from_workflow(source, *, model, model_uncond=None,
                 + f"; built sampler nodes: {sorted(samplers) or 'none'}")
         sampler = samplers[sampler_node]
     elif samplers:
-        nid = list(samplers)[-1]
-        sampler = samplers[nid]
-        if len(samplers) > 1:
+        # prefer UNCONSUMED sampler nodes: a KSamplerSelect feeding a
+        # SamplerConfigOverride is an ingredient, not the workflow's
+        # end-product sampler
+        final = {nid: obj for nid, obj in samplers.items()
+                 if nid not in res.consumed} or samplers
+        nid = list(final)[-1]
+        sampler = final[nid]
+        if len(final) > 1:
             res.warnings.append(
                 "multiple sampler nodes: using "
                 f"{nid} ({res.classes[nid]}); alternatives: "
                 + ", ".join(f"{i} ({res.classes[i]})"
-                            for i in samplers if i != nid))
+                            for i in final if i != nid))
     wcfgs = [obj for obj in res.built.values() if isinstance(obj, WaveletCFG)]
     kwargs = dict(pipeline_kwargs)
     if sampler is not None:

@@ -11,6 +11,12 @@ from .dit import (  # noqa: F401
     make_dit_denoiser,
     pp_stage_params,
 )
+from .flops import (  # noqa: F401
+    TPU_V5E_PEAK_FLOPS,
+    dit_forward_flops,
+    mfu_pct,
+    unet_forward_flops,
+)
 from .prediction import (  # noqa: F401
     CONST,
     EPS,

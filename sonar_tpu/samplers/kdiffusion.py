@@ -1,0 +1,456 @@
+"""Plain k-diffusion samplers as single-compile ``lax.scan`` loops.
+
+The reference wraps *host* samplers with custom noise via
+SamplerConfigOverride (py/nodes/misc.py:461-625) and its own example
+corpus samples with ``dpmpp_2s_ancestral`` (docs/base_noise_types.md:3-9)
+— so executing reference workflows end-to-end needs the plain k-diffusion
+set natively, not just the sonar momentum family. Formula source:
+``comfy.k_diffusion.sampling`` (crowsonkb's k-diffusion), re-derived as
+traced scan bodies:
+
+- every data-dependent branch (``sigma_next == 0`` tails,
+  ``sigma_down == 0`` ancestral floors, churn windows) is computed on
+  both sides with safe-guarded logs/divisions and selected elementwise —
+  no Python control flow on traced values;
+- second-order samplers always evaluate their second model call (one
+  algebraically-discarded call on the tail step) instead of a
+  ``lax.cond`` that would clone the UNet into the program twice;
+- custom noise arrives exactly like the sonar samplers: ``noise_item``
+  (a spec compiled into the loop) or ``noise_sampler`` (a recorded
+  stream), so ``sampler_config_override`` composes unchanged.
+
+Checkpoint/resume, ``callback``, and ``method="python"`` come from the
+shared ``_run_loop`` (sonar.py:110-147): the carry is
+``(x, aux_state, noise_state)``.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from ..noise.base import NoiseItem
+from .ancestral import get_ancestral_step, to_d
+from .momentum import SonarConfig
+from .sonar import _run_loop, _setup
+
+__all__ = [
+    "sample_euler",
+    "sample_euler_ancestral",
+    "sample_heun",
+    "sample_dpmpp_2m",
+    "sample_dpmpp_2s_ancestral",
+    "sample_ddim",
+    "sample_lcm",
+    "KDIFFUSION_SAMPLERS",
+]
+
+_EPS = 1e-10
+
+
+def _kd_setup(model, x, sigmas, *, default_noise_type, noise_item,
+              noise_sampler, seed, extra_args, need_noise):
+    """Model/noise plumbing shared with the sonar family (_setup with a
+    default SonarConfig: no momentum state, no guidance, no rand init)."""
+    model_fn, noise_fn, noise_state, _ri, _ref = _setup(
+        model, x, jnp.asarray(sigmas), cfg=SonarConfig(),
+        default_noise_type=default_noise_type, noise_item=noise_item,
+        noise_sampler=noise_sampler, seed=seed, extra_args=extra_args,
+        need_noise=need_noise)
+    return model_fn, noise_fn, noise_state
+
+
+def _churn(sigmas, i, s_churn, s_tmin, s_tmax, n_steps):
+    """Karras churn amount for step i (traced window test)."""
+    sigma = sigmas[i]
+    gamma = min(s_churn / max(n_steps, 1), math.sqrt(2.0) - 1.0)
+    in_window = (sigma >= s_tmin) & (sigma <= s_tmax)
+    return jnp.where(in_window, gamma, 0.0)
+
+
+def sample_euler(
+    model: Callable,
+    x: jax.Array,
+    sigmas: jax.Array,
+    *,
+    s_churn: float = 0.0,
+    s_tmin: float = 0.0,
+    s_tmax: float = float("inf"),
+    s_noise: float = 1.0,
+    noise_item: NoiseItem | None = None,
+    noise_sampler: Callable | None = None,
+    seed: int | None = None,
+    extra_args: dict | None = None,
+    callback=None,
+    method: str = "scan",
+    resume_from=None,
+    start_step: int = 0,
+    stop_step: int | None = None,
+    return_state: bool = False,
+) -> jax.Array:
+    """k-diffusion ``sample_euler``: deterministic Euler with optional
+    Karras churn. Noise is drawn only when ``s_churn > 0`` (a static
+    Python float — the no-churn program contains no RNG at all)."""
+    sigmas = jnp.asarray(sigmas)
+    n_steps = sigmas.shape[0] - 1
+    need_noise = s_churn > 0
+    model_fn, noise_fn, noise_state = _kd_setup(
+        model, x, sigmas, default_noise_type="gaussian",
+        noise_item=noise_item, noise_sampler=noise_sampler, seed=seed,
+        extra_args=extra_args, need_noise=need_noise)
+
+    def step_fn(carry, i):
+        xc, aux, nstate = carry
+        sigma, sigma_next = sigmas[i], sigmas[i + 1]
+        if need_noise:
+            gamma = _churn(sigmas, i, s_churn, s_tmin, s_tmax, n_steps)
+            sigma_hat = sigma * (gamma + 1.0)
+            noise, nstate = noise_fn(nstate, i, sigma, sigma_next)
+            bump = jnp.sqrt(jnp.maximum(sigma_hat**2 - sigma**2, 0.0))
+            xc = xc + noise * (s_noise * bump)
+        else:
+            sigma_hat = sigma
+        denoised = model_fn(xc, sigma_hat)
+        d = to_d(xc, sigma_hat, denoised)
+        out = xc + d * (sigma_next - sigma_hat)
+        return (out, aux, nstate), {"x": out, "sigma": sigma,
+                                    "sigma_hat": sigma_hat,
+                                    "denoised": denoised}
+
+    return _run_loop(step_fn, x, n_steps, (), noise_state, callback=callback, method=method,
+                     resume_from=resume_from, start_step=start_step,
+                     stop_step=stop_step, return_state=return_state)
+
+
+def sample_euler_ancestral(
+    model: Callable,
+    x: jax.Array,
+    sigmas: jax.Array,
+    *,
+    eta: float = 1.0,
+    s_noise: float = 1.0,
+    noise_item: NoiseItem | None = None,
+    noise_sampler: Callable | None = None,
+    seed: int | None = None,
+    extra_args: dict | None = None,
+    callback=None,
+    method: str = "scan",
+    resume_from=None,
+    start_step: int = 0,
+    stop_step: int | None = None,
+    return_state: bool = False,
+) -> jax.Array:
+    """k-diffusion ``sample_euler_ancestral`` (the momentum-free core of
+    sample_sonar_euler_ancestral — kept as its own loop so the plain
+    program carries no momentum state)."""
+    sigmas = jnp.asarray(sigmas)
+    model_fn, noise_fn, noise_state = _kd_setup(
+        model, x, sigmas, default_noise_type="gaussian",
+        noise_item=noise_item, noise_sampler=noise_sampler, seed=seed,
+        extra_args=extra_args, need_noise=True)
+
+    def step_fn(carry, i):
+        xc, aux, nstate = carry
+        sigma, sigma_next = sigmas[i], sigmas[i + 1]
+        sigma_down, sigma_up = get_ancestral_step(sigma, sigma_next, eta=eta)
+        denoised = model_fn(xc, sigma)
+        d = to_d(xc, sigma, denoised)
+        out = xc + d * (sigma_down - sigma)
+        noise, nstate = noise_fn(nstate, i, sigma, sigma_next)
+        out = jnp.where(sigma_next > 0, out + noise * (s_noise * sigma_up),
+                        out)
+        return (out, aux, nstate), {"x": out, "sigma": sigma,
+                                    "sigma_hat": sigma, "denoised": denoised}
+
+    return _run_loop(step_fn, x, sigmas.shape[0] - 1, (), noise_state, callback=callback, method=method,
+                     resume_from=resume_from, start_step=start_step,
+                     stop_step=stop_step, return_state=return_state)
+
+
+def sample_heun(
+    model: Callable,
+    x: jax.Array,
+    sigmas: jax.Array,
+    *,
+    s_churn: float = 0.0,
+    s_tmin: float = 0.0,
+    s_tmax: float = float("inf"),
+    s_noise: float = 1.0,
+    noise_item: NoiseItem | None = None,
+    noise_sampler: Callable | None = None,
+    seed: int | None = None,
+    extra_args: dict | None = None,
+    callback=None,
+    method: str = "scan",
+    resume_from=None,
+    start_step: int = 0,
+    stop_step: int | None = None,
+    return_state: bool = False,
+) -> jax.Array:
+    """k-diffusion ``sample_heun``: trapezoidal 2nd-order correction.
+    The correction's model call always executes (at ``sigma_next == 0``
+    its result is select-discarded in favor of the Euler step — one
+    redundant call per trajectory instead of a second UNet clone under
+    ``lax.cond``)."""
+    sigmas = jnp.asarray(sigmas)
+    n_steps = sigmas.shape[0] - 1
+    need_noise = s_churn > 0
+    model_fn, noise_fn, noise_state = _kd_setup(
+        model, x, sigmas, default_noise_type="gaussian",
+        noise_item=noise_item, noise_sampler=noise_sampler, seed=seed,
+        extra_args=extra_args, need_noise=need_noise)
+
+    def step_fn(carry, i):
+        xc, aux, nstate = carry
+        sigma, sigma_next = sigmas[i], sigmas[i + 1]
+        if need_noise:
+            gamma = _churn(sigmas, i, s_churn, s_tmin, s_tmax, n_steps)
+            sigma_hat = sigma * (gamma + 1.0)
+            noise, nstate = noise_fn(nstate, i, sigma, sigma_next)
+            bump = jnp.sqrt(jnp.maximum(sigma_hat**2 - sigma**2, 0.0))
+            xc = xc + noise * (s_noise * bump)
+        else:
+            sigma_hat = sigma
+        denoised = model_fn(xc, sigma_hat)
+        d = to_d(xc, sigma_hat, denoised)
+        dt = sigma_next - sigma_hat
+        euler_x = xc + d * dt
+        # correction stage at sigma_next (safe-floored for the tail call)
+        sn_safe = jnp.maximum(sigma_next, _EPS)
+        denoised_2 = model_fn(euler_x, sn_safe)
+        d_2 = to_d(euler_x, sn_safe, denoised_2)
+        heun_x = xc + (d + d_2) * (0.5 * dt)
+        out = jnp.where(sigma_next > 0, heun_x, euler_x)
+        return (out, aux, nstate), {"x": out, "sigma": sigma,
+                                    "sigma_hat": sigma_hat,
+                                    "denoised": denoised}
+
+    return _run_loop(step_fn, x, n_steps, (), noise_state, callback=callback, method=method,
+                     resume_from=resume_from, start_step=start_step,
+                     stop_step=stop_step, return_state=return_state)
+
+
+def sample_dpmpp_2m(
+    model: Callable,
+    x: jax.Array,
+    sigmas: jax.Array,
+    *,
+    extra_args: dict | None = None,
+    seed: int | None = None,
+    callback=None,
+    method: str = "scan",
+    resume_from=None,
+    start_step: int = 0,
+    stop_step: int | None = None,
+    return_state: bool = False,
+) -> jax.Array:
+    """k-diffusion ``sample_dpmpp_2m``: deterministic 2nd-order multistep
+    (one model call per step; the previous denoised rides the carry)."""
+    sigmas = jnp.asarray(sigmas)
+    model_fn, _nf, _ns = _kd_setup(
+        model, x, sigmas, default_noise_type="gaussian", noise_item=None,
+        noise_sampler=None, seed=seed, extra_args=extra_args,
+        need_noise=False)
+
+    def t_fn(s):
+        return -jnp.log(jnp.maximum(s, _EPS))
+
+    def step_fn(carry, i):
+        xc, aux, nstate = carry
+        old_denoised, has_old = aux
+        sigma, sigma_next = sigmas[i], sigmas[i + 1]
+        denoised = model_fn(xc, sigma)
+        t, t_next = t_fn(sigma), t_fn(sigma_next)
+        h = t_next - t
+        ratio = sigma_next / sigma
+        # 2nd-order correction only with history and a non-tail step
+        # (k-diffusion: `old_denoised is None or sigmas[i+1] == 0`)
+        h_last = t - t_fn(sigmas[jnp.maximum(i - 1, 0)])
+        r = h_last / jnp.where(h == 0, _EPS, h)
+        coef = 1.0 / jnp.maximum(2.0 * r, _EPS)
+        denoised_d = (1.0 + coef) * denoised - coef * old_denoised
+        use_2nd = has_old & (sigma_next > 0) & (i > 0)
+        eff = jnp.where(use_2nd, denoised_d, denoised)
+        out = ratio * xc - jnp.expm1(-h) * eff
+        return (out, (denoised, jnp.ones((), bool)), nstate), {
+            "x": out, "sigma": sigma, "sigma_hat": sigma,
+            "denoised": denoised}
+
+    aux0 = (jnp.zeros_like(x), jnp.zeros((), bool))
+    return _run_loop(step_fn, x, sigmas.shape[0] - 1, aux0, (), callback=callback, method=method,
+                     resume_from=resume_from, start_step=start_step,
+                     stop_step=stop_step, return_state=return_state)
+
+
+def sample_dpmpp_2s_ancestral(
+    model: Callable,
+    x: jax.Array,
+    sigmas: jax.Array,
+    *,
+    eta: float = 1.0,
+    s_noise: float = 1.0,
+    noise_item: NoiseItem | None = None,
+    noise_sampler: Callable | None = None,
+    seed: int | None = None,
+    extra_args: dict | None = None,
+    callback=None,
+    method: str = "scan",
+    resume_from=None,
+    start_step: int = 0,
+    stop_step: int | None = None,
+    return_state: bool = False,
+) -> jax.Array:
+    """k-diffusion ``sample_dpmpp_2s_ancestral``: single-step 2nd-order
+    DPM-Solver++ with ancestral noise — the sampler the reference's own
+    example workflow corpus uses (docs/base_noise_types.md:3-9). The
+    midpoint model call always executes; when ``sigma_down == 0`` the
+    Euler fallback is select-chosen, matching the reference's branch."""
+    sigmas = jnp.asarray(sigmas)
+    model_fn, noise_fn, noise_state = _kd_setup(
+        model, x, sigmas, default_noise_type="gaussian",
+        noise_item=noise_item, noise_sampler=noise_sampler, seed=seed,
+        extra_args=extra_args, need_noise=True)
+
+    def step_fn(carry, i):
+        xc, aux, nstate = carry
+        sigma, sigma_next = sigmas[i], sigmas[i + 1]
+        sigma_down, sigma_up = get_ancestral_step(sigma, sigma_next, eta=eta)
+        denoised = model_fn(xc, sigma)
+        # Euler branch (sigma_down == 0)
+        d = to_d(xc, sigma, denoised)
+        euler_x = xc + d * (sigma_down - sigma)
+        # DPM-Solver++(2S) branch
+        sd_safe = jnp.maximum(sigma_down, _EPS)
+        t, t_next = -jnp.log(sigma), -jnp.log(sd_safe)
+        r = 0.5
+        h = t_next - t
+        s = t + r * h
+        sigma_s = jnp.exp(-s)
+        x_2 = (sigma_s / sigma) * xc - jnp.expm1(-h * r) * denoised
+        denoised_2 = model_fn(x_2, sigma_s)
+        solver_x = (sd_safe / sigma) * xc - jnp.expm1(-h) * denoised_2
+        out = jnp.where(sigma_down > 0, solver_x, euler_x)
+        noise, nstate = noise_fn(nstate, i, sigma, sigma_next)
+        out = jnp.where(sigma_next > 0, out + noise * (s_noise * sigma_up),
+                        out)
+        return (out, aux, nstate), {"x": out, "sigma": sigma,
+                                    "sigma_hat": sigma, "denoised": denoised}
+
+    return _run_loop(step_fn, x, sigmas.shape[0] - 1, (), noise_state, callback=callback, method=method,
+                     resume_from=resume_from, start_step=start_step,
+                     stop_step=stop_step, return_state=return_state)
+
+
+def sample_ddim(
+    model: Callable,
+    x: jax.Array,
+    sigmas: jax.Array,
+    *,
+    eta: float = 0.0,
+    s_noise: float = 1.0,
+    noise_item: NoiseItem | None = None,
+    noise_sampler: Callable | None = None,
+    seed: int | None = None,
+    extra_args: dict | None = None,
+    callback=None,
+    method: str = "scan",
+    resume_from=None,
+    start_step: int = 0,
+    stop_step: int | None = None,
+    return_state: bool = False,
+) -> jax.Array:
+    """DDIM in the sigma parameterization: ``x <- denoised +
+    (sigma_next/sigma) * (x - denoised)``. With ``eta = 0`` this is
+    algebraically identical to the Euler ODE step (the linear exponential
+    integrator); ``eta > 0`` applies the ancestral split first and
+    re-injects ``sigma_up`` of noise (stochastic DDIM)."""
+    sigmas = jnp.asarray(sigmas)
+    need_noise = eta > 0
+    model_fn, noise_fn, noise_state = _kd_setup(
+        model, x, sigmas, default_noise_type="gaussian",
+        noise_item=noise_item, noise_sampler=noise_sampler, seed=seed,
+        extra_args=extra_args, need_noise=need_noise)
+
+    def step_fn(carry, i):
+        xc, aux, nstate = carry
+        sigma, sigma_next = sigmas[i], sigmas[i + 1]
+        if need_noise:
+            sigma_down, sigma_up = get_ancestral_step(sigma, sigma_next,
+                                                      eta=eta)
+        else:
+            sigma_down = sigma_next
+        denoised = model_fn(xc, sigma)
+        out = denoised + (sigma_down / sigma) * (xc - denoised)
+        if need_noise:
+            noise, nstate = noise_fn(nstate, i, sigma, sigma_next)
+            out = jnp.where(sigma_next > 0,
+                            out + noise * (s_noise * sigma_up), out)
+        return (out, aux, nstate), {"x": out, "sigma": sigma,
+                                    "sigma_hat": sigma, "denoised": denoised}
+
+    return _run_loop(step_fn, x, sigmas.shape[0] - 1, (), noise_state, callback=callback, method=method,
+                     resume_from=resume_from, start_step=start_step,
+                     stop_step=stop_step, return_state=return_state)
+
+
+def sample_lcm(
+    model: Callable,
+    x: jax.Array,
+    sigmas: jax.Array,
+    *,
+    s_noise: float = 1.0,
+    noise_item: NoiseItem | None = None,
+    noise_sampler: Callable | None = None,
+    seed: int | None = None,
+    extra_args: dict | None = None,
+    ancestral_mode: str = "vp",
+    callback=None,
+    method: str = "scan",
+    resume_from=None,
+    start_step: int = 0,
+    stop_step: int | None = None,
+    return_state: bool = False,
+) -> jax.Array:
+    """LCM sampler (comfy ``sample_lcm``): take the consistency-model
+    prediction, then re-noise to the next sigma via the model-sampling's
+    noise scaling — VP (``denoised + sigma_next * noise``, EPS-family) or
+    rectified-flow (``(1 - sigma_next) * denoised + sigma_next * noise``,
+    CONST-family), selected like the sonar samplers' ``ancestral_mode``."""
+    if ancestral_mode not in ("vp", "rf"):
+        raise ValueError(f"ancestral_mode must be 'vp' or 'rf', "
+                         f"got {ancestral_mode!r}")
+    sigmas = jnp.asarray(sigmas)
+    model_fn, noise_fn, noise_state = _kd_setup(
+        model, x, sigmas, default_noise_type="gaussian",
+        noise_item=noise_item, noise_sampler=noise_sampler, seed=seed,
+        extra_args=extra_args, need_noise=True)
+    rf = ancestral_mode == "rf"
+
+    def step_fn(carry, i):
+        xc, aux, nstate = carry
+        sigma, sigma_next = sigmas[i], sigmas[i + 1]
+        denoised = model_fn(xc, sigma)
+        noise, nstate = noise_fn(nstate, i, sigma, sigma_next)
+        base = (1.0 - sigma_next) * denoised if rf else denoised
+        noisy = base + noise * (s_noise * sigma_next)
+        out = jnp.where(sigma_next > 0, noisy, denoised)
+        return (out, aux, nstate), {"x": out, "sigma": sigma,
+                                    "sigma_hat": sigma, "denoised": denoised}
+
+    return _run_loop(step_fn, x, sigmas.shape[0] - 1, (), noise_state, callback=callback, method=method,
+                     resume_from=resume_from, start_step=start_step,
+                     stop_step=stop_step, return_state=return_state)
+
+
+KDIFFUSION_SAMPLERS = {
+    "euler": sample_euler,
+    "euler_ancestral": sample_euler_ancestral,
+    "heun": sample_heun,
+    "dpmpp_2m": sample_dpmpp_2m,
+    "dpmpp_2s_ancestral": sample_dpmpp_2s_ancestral,
+    "ddim": sample_ddim,
+    "lcm": sample_lcm,
+}
