@@ -172,21 +172,33 @@ def _modulate(x, shift, scale):
     return x * (1.0 + scale[:, None, :]) + shift[:, None, :]
 
 
-def _attention(p, x, num_heads):
+def _attention(p, x, num_heads, tp_axis=None):
     b, n, d = x.shape
     dh = d // num_heads
     # the packed qkv kernel is laid out HEAD-MAJOR — feature index
     # h·3dh + {q,k,v}·dh + i — so a tp shard of the output axis is a
     # contiguous group of whole heads (tp must divide num_heads) and
     # GSPMD keeps attention sharded instead of all-gathering activations
-    # (verified by HLO collective counts, tests/test_dit.py)
-    qkv = _dense(p["qkv"], x).reshape(b, n, num_heads, 3, dh)
+    # (verified by HLO collective counts, tests/test_dit.py).
+    #
+    # ``tp_axis`` switches to MANUAL megatron collectives for shard_map
+    # bodies (dit_pp_apply with tp): the qkv/attn_out leaves arrive
+    # tp-LOCAL, the local head count comes off the array shape, and the
+    # row-parallel attn_out partial sum is psum'd with the bias added
+    # once after the reduce.
+    qkv = x @ p["qkv"]["w"] + p["qkv"]["b"]  # bias tp-split like the feats
+    heads = qkv.shape[-1] // (3 * dh)
+    qkv = qkv.reshape(b, n, heads, 3, dh)
     q, k, v = (qkv[:, :, :, i].transpose(0, 2, 1, 3) for i in range(3))
     logits = jnp.einsum("bhqd,bhkd->bhqk", q, k,
                         preferred_element_type=jnp.float32)
     att = jax.nn.softmax(logits.astype(jnp.float32) / math.sqrt(dh), axis=-1)
     out = jnp.einsum("bhqk,bhkd->bhqd", att.astype(x.dtype), v)
-    return _dense(p["attn_out"], out.transpose(0, 2, 1, 3).reshape(b, n, d))
+    out = out.transpose(0, 2, 1, 3).reshape(b, n, heads * dh)
+    y = out @ p["attn_out"]["w"]
+    if tp_axis is not None:
+        y = jax.lax.psum(y, tp_axis)
+    return y + p["attn_out"]["b"]
 
 
 def _moe_mlp(p, x, cfg: DiTConfig):
@@ -226,18 +238,26 @@ def _moe_mlp(p, x, cfg: DiTConfig):
     return jnp.einsum("bnec,ebcd->bnd", combine, yout), aux
 
 
-def _block(p, h, emb, cfg: DiTConfig):
+def _block(p, h, emb, cfg: DiTConfig, tp_axis=None):
     """One adaLN DiT block. ``p`` leaves are UNSTACKED (no depth axis).
-    Returns ``(h, aux)`` — aux is 0 for dense-MLP blocks."""
+    Returns ``(h, aux)`` — aux is 0 for dense-MLP blocks.
+
+    ``tp_axis`` (shard_map bodies only): qkv/mlp_in weights+biases are
+    tp-local column-parallel, attn_out/mlp_out row-parallel with a manual
+    psum — one reduce per sublayer, the megatron schedule."""
     mod = _dense(p["ada"], jax.nn.silu(emb))  # (B, 6D)
     sh_a, sc_a, g_a, sh_m, sc_m, g_m = jnp.split(mod, 6, axis=-1)
     h = h + g_a[:, None, :] * _attention(
-        p, _modulate(_layer_norm(h), sh_a, sc_a), cfg.num_heads)
+        p, _modulate(_layer_norm(h), sh_a, sc_a), cfg.num_heads, tp_axis)
     y = _modulate(_layer_norm(h), sh_m, sc_m)
     if "router" in p:
         y, aux = _moe_mlp(p, y, cfg)
     else:
-        y = _dense(p["mlp_out"], jax.nn.gelu(_dense(p["mlp_in"], y)))
+        y = jax.nn.gelu(y @ p["mlp_in"]["w"] + p["mlp_in"]["b"])
+        y = y @ p["mlp_out"]["w"]
+        if tp_axis is not None:
+            y = jax.lax.psum(y, tp_axis)
+        y = y + p["mlp_out"]["b"]
         aux = jnp.zeros((), jnp.float32)
     return h + g_m[:, None, :] * y, aux
 
@@ -275,9 +295,9 @@ def _head(params, h, emb, hp, wp, cfg: DiTConfig, out_dtype):
                        cfg.in_channels).astype(out_dtype)
 
 
-def _scan_blocks(stacked, h, emb, cfg):
+def _scan_blocks(stacked, h, emb, cfg, tp_axis=None):
     def body(carry, bp):
-        out, aux = _block(bp, carry, emb, cfg)
+        out, aux = _block(bp, carry, emb, cfg, tp_axis)
         return out, aux
 
     h, auxs = jax.lax.scan(body, h, stacked)
@@ -301,6 +321,7 @@ def make_dit_denoiser(params: dict, cfg: DiTConfig = DiTConfig(), *,
                       params_kwarg: str = "params",
                       pp_mesh=None, microbatches: int = 1,
                       pp: str = "pp", dp: str | None = "dp",
+                      tp: str | None = None,
                       prediction="eps",
                       timestep_fn: Callable | None = None) -> Callable:
     """Denoiser protocol ``model(x, sigma_batch) -> denoised``
@@ -336,7 +357,8 @@ def make_dit_denoiser(params: dict, cfg: DiTConfig = DiTConfig(), *,
         xin = pred.calculate_input(s4, x)
         if pp_mesh is not None:
             out = dit_pp_apply(p, xin, cond, cfg, pp_mesh,
-                               microbatches=microbatches, pp=pp, dp=dp)
+                               microbatches=microbatches, pp=pp, dp=dp,
+                               tp=tp)
         else:
             out = dit_apply(p, xin, cond, cfg)
         return pred.calculate_denoised(s4, out, x)
@@ -409,9 +431,33 @@ def dit_param_shardings(params: dict, mesh, *, tp: str | None = "tp",
     return jax.tree_util.tree_map_with_path(spec, params)
 
 
+def _pp_block_specs(blocks, pp: str, tp: str | None):
+    """Per-leaf shard_map in_specs for a STAGED block tree: stage axis on
+    ``pp``; with ``tp``, the megatron layout (qkv/mlp_in column-parallel
+    incl. their biases, attn_out/mlp_out row-parallel, adaLN replicated —
+    mirrors dit_param_shardings' body logic)."""
+
+    def spec(path, leaf):
+        names = tuple(getattr(k, "key", getattr(k, "name", None))
+                      for k in path)
+        body_nd = leaf.ndim - 2  # (stages, depth/S, ...body)
+        if tp is None:
+            return P(*((pp, None) + (None,) * body_nd))
+        if any(n in ("qkv", "mlp_in") for n in names):
+            body = (None,) * (body_nd - 1) + (tp,)  # w: (d, out·tp); b: (out·tp,)
+        elif any(n in ("attn_out", "mlp_out") for n in names) and body_nd == 2:
+            body = (tp, None)  # row-parallel kernel; bias stays replicated
+        else:
+            body = (None,) * body_nd
+        return P(*((pp, None) + body))
+
+    return jax.tree_util.tree_map_with_path(spec, blocks)
+
+
 def dit_pp_apply(params: dict, x: jax.Array, sigma: jax.Array,
                  cfg: DiTConfig, mesh, *, microbatches: int,
                  pp: str = "pp", dp: str | None = "dp",
+                 tp: str | None = None,
                  return_aux: bool = False):
     """Pipeline-parallel forward: ``params["blocks"]`` must be staged
     (:func:`pp_stage_params`) with its stage axis sharded over the ``pp``
@@ -421,30 +467,49 @@ def dit_pp_apply(params: dict, x: jax.Array, sigma: jax.Array,
     batch sharding. Matches :func:`dit_apply` on the unstaged tree up to
     fusion-order ulps.
 
+    ``tp`` composes megatron tensor parallelism INSIDE each stage
+    (VERDICT r3 item 8): block kernels shard per _pp_block_specs and the
+    blocks run with manual collectives (one psum per sublayer,
+    _block(tp_axis=...)); activations stay full-width so the ppermute
+    handoff is unchanged. Dense MLP only — MoE blocks keep their ep
+    layout and are refused with tp.
+
     Differentiable: the transpose of ``ppermute`` is the reverse permute,
     so ``jax.grad`` through this function IS 1F1B-style pipeline-parallel
-    backprop, with each stage's weight grads landing pp-sharded in place.
+    backprop, with each stage's weight grads landing pp-sharded in place
+    (and tp-sharded within a stage when ``tp`` is set).
     """
     s = mesh.shape[pp]
     dp_ok = dp if dp and dp in mesh.axis_names else None
+    tp_ok = tp if tp and tp in mesh.axis_names and mesh.shape[tp] > 1 else None
     lead = jax.tree_util.tree_leaves(params["blocks"])[0]
     if lead.ndim < 2 or lead.shape[0] != s:
         raise ValueError(
             f"params['blocks'] stage axis is {lead.shape[0] if lead.ndim else 0}, "
             f"mesh '{pp}' has {s} devices — run pp_stage_params(params, {s}) "
             "first (a mismatched staging would silently drop blocks)")
-    # the pipeline composes with dp only: block weights enter shard_map
-    # pinned to P(pp) on the stage axis, so an ep/tp-sharded tree would be
-    # silently all-gathered to full replication per device — refuse loudly
+    if tp_ok and "router" in params["blocks"]:
+        raise NotImplementedError(
+            "dit_pp_apply tp composes with dense-MLP blocks only; MoE "
+            "expert weights use the ep layout (plain dit_apply)")
+    if tp_ok and cfg.num_heads % mesh.shape[tp_ok]:
+        raise ValueError(
+            f"num_heads {cfg.num_heads} not divisible by tp size "
+            f"{mesh.shape[tp_ok]} (the qkv shard must hold whole heads)")
+    # the pipeline composes with dp (+tp when given): block weights enter
+    # shard_map pinned to the _pp_block_specs layout, so a tree sharded on
+    # any OTHER axis would be silently all-gathered — refuse loudly
+    allowed = {pp} | ({tp_ok} if tp_ok else set())
     for leaf in jax.tree_util.tree_leaves(params["blocks"]):
         spec = getattr(getattr(leaf, "sharding", None), "spec", None)
         extra = {ax for part in (spec or ()) if part is not None
-                 for ax in ((part,) if isinstance(part, str) else part)} - {pp}
+                 for ax in ((part,) if isinstance(part, str) else part)} - allowed
         if extra:
             raise NotImplementedError(
-                f"dit_pp_apply composes with dp only; block weights are "
+                f"dit_pp_apply composes with dp"
+                + ("×tp" if tp_ok else "") + " only; block weights are "
                 f"also sharded on {sorted(extra)} — use plain dit_apply "
-                "for tp/ep layouts, or replicate those axes before staging")
+                "for ep layouts, or replicate those axes before staging")
     h, emb, hp, wp = _embed(params, x, sigma, cfg)
     b = h.shape[0]
     b_loc = b // mesh.shape[dp_ok] if dp_ok else b
@@ -457,7 +522,9 @@ def dit_pp_apply(params: dict, x: jax.Array, sigma: jax.Array,
     lat = P(dp_ok) if dp_ok else P()
 
     @partial(jax.shard_map, mesh=mesh,
-             in_specs=(P(pp), lat, lat), out_specs=(lat, P()),
+             in_specs=(_pp_block_specs(params["blocks"], pp, tp_ok),
+                       lat, lat),
+             out_specs=(lat, P()),
              check_vma=False)
     def run_pipe(stage_blocks, h_loc, emb_loc):
         # stage_blocks leaves: (1, depth/S, ...) local view → drop stage axis
@@ -484,7 +551,7 @@ def dit_pp_apply(params: dict, x: jax.Array, sigma: jax.Array,
             esrc = jnp.clip(t - stage, 0, microbatches - 1)
             emb_t = jax.lax.dynamic_index_in_dim(e_mb, esrc, 0,
                                                  keepdims=False)
-            res, aux = _scan_blocks(blocks, inp, emb_t, cfg)
+            res, aux = _scan_blocks(blocks, inp, emb_t, cfg, tp_ok)
             # aux only counts ticks where this stage held a REAL microbatch
             # (warmup/drain ticks process placeholder data)
             valid = ((t - stage) >= 0) & ((t - stage) < microbatches)

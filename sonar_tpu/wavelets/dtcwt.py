@@ -181,9 +181,16 @@ def _level1_banks() -> tuple[WaveletFilters, WaveletFilters]:
 def _resolve_level1(biort: str) -> WaveletFilters:
     from .kingsbury import biort_level1_bank
 
-    if biort in ("legall", "near_sym_a", "antonini"):
+    if biort in ("legall", "near_sym_a", "antonini", "near_sym_b"):
         return biort_level1_bank(biort)
-    if biort in ("near_sym_b", "near_sym_a_bp", "near_sym_b_bp", "native"):
+    # _bp variants substitute their base bank (the bandpass-modified 45°
+    # filters of the rotationally-symmetric transform are out of scope);
+    # "native" keeps the in-repo designed (13,17) pair available
+    if biort == "near_sym_a_bp":
+        return biort_level1_bank("near_sym_a")
+    if biort == "near_sym_b_bp":
+        return biort_level1_bank("near_sym_b")
+    if biort == "native":
         return near_sym_bank()
     raise ValueError(f"Unknown biort {biort!r}; valid: legall, near_sym_a, "
                      "antonini, near_sym_b, native")

@@ -23,6 +23,12 @@ EXACT (verified by hard checksums in tests/test_kingsbury.py):
   (Kingsbury 2001); passes Σh=√2 and shift-orthogonality to the 8-decimal
   precision of the published table.
 - ``qshift_b``  — the published 14-tap Q-shift filter (same checks).
+- ``near_sym_b``— Kingsbury's (13,19)-tap pair, derived EXACTLY
+  (VERDICT r3 item 7) by Tay-Kingsbury transformation of variables on
+  the near_sym_a prototype (tools/derive_nearsym_b.py): the published
+  h0o decimals are the rationals (-9,0,114,-240,-247,1520,2844,…)/5120,
+  the unique M(z) substitution reproducing them forces the published
+  19-tap g0o, and PR transfers from the prototype structurally.
 
 SUBSTITUTED (documented; the toolbox values are unpublished/unavailable):
 
@@ -31,10 +37,11 @@ SUBSTITUTED (documented; the toolbox values are unpublished/unavailable):
   the same family and length).
 - ``qshift_c``/``qshift_d`` → qshift_b (published 14-tap; the 16/18-tap
   tables are not reproducible without the toolbox data files).
-- ``near_sym_b`` (and ``_bp`` names) → the in-repo designed (13,17)
-  near-symmetric pair (tools/design_nearsym.py, level-1 one-sidedness
-  0.941) — a same-length-class high-quality stand-in.
-- ``native``    — the in-repo designed banks (the pre-round-3 defaults).
+- ``near_sym_a_bp``/``near_sym_b_bp`` → their base banks (the bandpass
+  45°-subband modification of the rotationally-symmetric transform is
+  out of scope; the scaling/wavelet pair is the base bank's).
+- ``native``    — the in-repo designed (13,17) banks
+  (tools/design_nearsym.py, the pre-round-3 defaults).
 """
 
 from __future__ import annotations
@@ -61,6 +68,24 @@ _NEAR_SYM_A_H0 = np.array([-1, 5, 12, 5, -1], np.float64) / 20.0
 _NEAR_SYM_A_G0 = np.array(
     [Fraction(-3, 280), Fraction(-3, 56), Fraction(73, 280), Fraction(17, 28),
      Fraction(73, 280), Fraction(-3, 56), Fraction(-3, 280)], np.float64)
+
+# Kingsbury's (13,19)-tap near-symmetric pair, EXACT (VERDICT r3 item 7;
+# derivation: tools/derive_nearsym_b.py). The pair is the near_sym_a
+# prototype pushed through Tay-Kingsbury transformation of variables —
+# substituting M(z) = (-3z^3 + 19z + 19/z - 3/z^3)/16 for x = z + 1/z in
+# Q(x) = (-x^2+5x+14)/20 and R(x) = (-3x^3-15x^2+82x+200)/280 — which
+# both (a) reproduces the published decimal tables exactly
+# (0.55943090, 0.29975763, -0.05168806, -0.05564314, 0.02385603,
+# 0.00715681, -0.00188337, -0.00134190, 0.00007063) and (b) transfers
+# perfect reconstruction from the (5,7) prototype because M(z)+M(-z)=0
+# preserves the halfband property (asserted in tests/test_kingsbury.py).
+_NEAR_SYM_B_H0 = np.array(
+    [-9, 0, 114, -240, -247, 1520, 2844, 1520, -247, -240, 114, 0, -9],
+    np.float64) / 5120.0
+_NEAR_SYM_B_G0 = np.array(
+    [81, 0, -1539, -2160, 8208, 27360, -63816, -59280, 343786, 641600,
+     343786, -59280, -63816, 27360, 8208, -2160, -1539, 0, 81],
+    np.float64) / 1146880.0
 
 
 @functools.lru_cache(maxsize=None)
@@ -98,7 +123,7 @@ def _antonini_pair() -> tuple[np.ndarray, np.ndarray]:
     return h0, g0
 
 
-BIORT_EXACT = ("legall", "near_sym_a", "antonini")
+BIORT_EXACT = ("legall", "near_sym_a", "antonini", "near_sym_b")
 
 
 def biort_pair(name: str) -> tuple[np.ndarray, np.ndarray, bool]:
@@ -107,6 +132,8 @@ def biort_pair(name: str) -> tuple[np.ndarray, np.ndarray, bool]:
         return _LEGALL_H0, _LEGALL_G0, True
     if name == "near_sym_a":
         return _NEAR_SYM_A_H0, _NEAR_SYM_A_G0, True
+    if name == "near_sym_b":
+        return _NEAR_SYM_B_H0, _NEAR_SYM_B_G0, True
     if name == "antonini":
         h0, g0 = _antonini_pair()
         return h0, g0, True

@@ -365,3 +365,69 @@ def test_pp_denoiser_serves_sampling(params):
     out = piped(x0, sig)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_pp_tp_forward_matches_and_gather_free(params, x):
+    """dp×tp×pp (VERDICT r3 item 8): megatron tp inside each pipeline
+    stage via manual collectives. Must match plain dit_apply, and the
+    compiled pipe must stay all-gather-free (head-major qkv shards are
+    whole heads; the only collectives are the per-sublayer psums and the
+    ppermute handoffs)."""
+    mesh = make_mesh(8, axis_names=("dp", "tp", "pp"), mesh_shape=(2, 2, 2))
+    sigma = jnp.full((4,), 3.0)
+    ref = dit_apply(params, x, sigma, CFG)
+
+    staged = pp_stage_params(params, 2)
+    sh = dit_param_shardings(staged, mesh, tp="tp", pp="pp")
+    staged = jax.tree_util.tree_map(jax.device_put, staged, sh)
+    xs = jax.device_put(x, NamedSharding(mesh, P("dp")))
+
+    fn = jax.jit(lambda p, v, s: dit_pp_apply(
+        p, v, s, CFG, mesh, microbatches=2, pp="pp", dp="dp", tp="tp"))
+    out = fn(staged, xs, sigma)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
+
+    hlo = fn.lower(staged, xs, sigma).compile().as_text()
+    n_gather = sum("all-gather" in ln for ln in hlo.splitlines())
+    assert n_gather == 0, f"pp×tp leaks {n_gather} all-gathers"
+
+
+def test_pp_tp_grads_match(params, x):
+    """grad through the tp-inside-pp pipeline is pipeline-parallel
+    backprop with tp-sharded stage grads — values must equal the
+    single-program reference."""
+    mesh = make_mesh(8, axis_names=("dp", "tp", "pp"), mesh_shape=(2, 2, 2))
+    sigma = jnp.full((4,), 3.0)
+    staged = pp_stage_params(params, 2)
+    sh = dit_param_shardings(staged, mesh, tp="tp", pp="pp")
+    staged_p = jax.tree_util.tree_map(jax.device_put, staged, sh)
+    xs = jax.device_put(x, NamedSharding(mesh, P("dp")))
+
+    def loss(p, v, s):
+        return jnp.sum(dit_pp_apply(p, v, s, CFG, mesh, microbatches=2,
+                                    pp="pp", dp="dp", tp="tp") ** 2)
+
+    def loss_ref(p, v, s):
+        return jnp.sum(dit_apply(p, v, s, CFG) ** 2)
+
+    g = jax.jit(jax.grad(loss))(staged_p, xs, sigma)
+    g_ref = pp_stage_params(jax.grad(loss_ref)(params, x, sigma), 2)
+    for a, b in zip(jax.tree_util.tree_leaves(g),
+                    jax.tree_util.tree_leaves(g_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=3e-5, atol=3e-5)
+
+
+def test_pp_tp_refuses_moe_and_bad_heads(moe_params, params):
+    mesh = make_mesh(8, axis_names=("tp", "pp"), mesh_shape=(4, 2))
+    staged_moe = pp_stage_params(moe_params, 2)
+    with pytest.raises(NotImplementedError, match="dense-MLP"):
+        dit_pp_apply(staged_moe, jnp.zeros((2, 4, 16, 16)), jnp.ones((2,)),
+                     MOE_CFG, mesh, microbatches=1, dp=None, tp="tp")
+    staged = pp_stage_params(params, 2)
+    cfg3 = DiTConfig(hidden=66, depth=4, num_heads=3, patch_size=2)
+    p3 = pp_stage_params(init_dit_params(jax.random.key(1), cfg3), 2)
+    with pytest.raises(ValueError, match="not divisible by tp"):
+        dit_pp_apply(p3, jnp.zeros((2, 4, 16, 16)), jnp.ones((2,)),
+                     cfg3, mesh, microbatches=1, dp=None, tp="tp")

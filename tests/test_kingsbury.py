@@ -49,6 +49,49 @@ def test_legall_exact():
     np.testing.assert_array_equal(g0 * 4, [1, 2, 1])
 
 
+def test_near_sym_b_exact_published():
+    """The (13,19) pair derived by transformation of variables
+    (tools/derive_nearsym_b.py) must equal the published decimal tables
+    and satisfy the PR halfband identity exactly (VERDICT r3 item 7)."""
+    h0, g0, exact = K.biort_pair("near_sym_b")
+    assert exact and len(h0) == 13 and len(g0) == 19
+    np.testing.assert_array_equal(
+        h0 * 5120,
+        [-9, 0, 114, -240, -247, 1520, 2844, 1520, -247, -240, 114, 0, -9])
+    # the published 8-decimal tables
+    np.testing.assert_allclose(
+        h0[6:], [0.5554688, 0.296875, -0.0482422, -0.046875,
+                 0.0222656, 0, -0.0017578], atol=5e-8)
+    np.testing.assert_allclose(
+        g0[9:], [0.55943090, 0.29975763, -0.05168806, -0.05564314,
+                 0.02385603, 0.00715681, -0.00188337, -0.00134190,
+                 0, 0.00007063], atol=5e-8)
+    assert abs(h0.sum() - 1) < 1e-15 and abs(g0.sum() - 1) < 1e-15
+    p = np.convolve(h0, g0)
+    c = len(p) // 2
+    np.testing.assert_allclose(p[c], 0.5, atol=1e-15)
+    for m in range(1, 8):
+        assert abs(p[c + 2 * m]) < 1e-15, m
+        assert abs(p[c - 2 * m]) < 1e-15, m
+
+
+def test_near_sym_b_dtcwt_pr():
+    from sonar_tpu.wavelets.dtcwt import dtcwt2d, idtcwt2d
+
+    x = jax.random.normal(jax.random.key(2), (1, 2, 32, 32))
+    yls, yhs = dtcwt2d(x, 3, biort="near_sym_b", qshift="qshift_b")
+    rec = idtcwt2d(yls, yhs, out_hw=(32, 32), biort="near_sym_b",
+                   qshift="qshift_b")
+    np.testing.assert_allclose(np.asarray(rec), np.asarray(x), atol=2e-5)
+
+
+def test_near_sym_bp_names_resolve_to_base():
+    from sonar_tpu.wavelets.dtcwt import _resolve_level1
+
+    assert _resolve_level1("near_sym_b_bp") is _resolve_level1("near_sym_b")
+    assert _resolve_level1("near_sym_a_bp") is _resolve_level1("near_sym_a")
+
+
 @pytest.mark.parametrize("name,length,nonzero", [
     ("qshift_06", 10, 6), ("qshift_b", 14, 14)])
 def test_qshift_published_checksums(name, length, nonzero):
@@ -86,8 +129,8 @@ def test_level1_analyticity_published_vs_designed():
     """Documented trade-off: the short published (5,7) near_sym_a has
     level-1 one-sidedness ~0.819 in the roll-based level-1 scheme (just
     above the 0.8183 orthonormal ceiling), while the in-repo designed
-    (13,17) pair — available as biort='near_sym_b'/'native' — reaches
-    ~0.941. The published bank is the default for reference parity."""
+    (13,17) pair — available as biort='native' — reaches ~0.941. The
+    published banks stay the defaults for reference parity."""
     from sonar_tpu.wavelets.dtcwt import near_sym_bank
 
     def one_sidedness(bank):
