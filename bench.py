@@ -748,6 +748,7 @@ _SINGLE = {
     "proxy_euler_fast": bench_proxy_euler_fast_per_call_ms,
     "proxy_config3_fast": bench_proxy_config3_fast_per_call_ms,
     "proxy_config4": bench_proxy_config4_per_call_ms,
+    "proxy_config4_matmul": bench_proxy_config4_per_call_ms,
     "sdxl_config4": bench_sdxl_config4_per_call_ms,
     "video_noise": bench_video_noise_mpix,
 }
@@ -766,7 +767,8 @@ _TIMEOUTS = {"sdxl_euler": 1200, "sdxl_config3": 1200,
              "sdxl_euler_batched": 2400, "sdxl_euler_bf16": 1200,
              "sdxl_euler_fast": 2400,
              "proxy_euler": 560, "proxy_config3": 560,
-             "proxy_config4": 700, "video_noise": 400,
+             "proxy_config4": 700, "proxy_config4_matmul": 700,
+             "video_noise": 400,
              "proxy_euler_batched": 1500, "proxy_euler_bf16": 560,
              "proxy_euler_fast": 1500, "proxy_config3_fast": 1500,
              "noise_fused": 900,
@@ -777,6 +779,9 @@ _TIMEOUTS = {"sdxl_euler": 1200, "sdxl_config3": 1200,
 # hardware-PRNG Pallas kernel enabled — profiles/ANALYSIS.md §1)
 _METRIC_ENV = {
     "noise_hw": {"SONAR_TPU_HW_RNG": "1"},
+    # config-4 with the one-matmul spectral filter (cfg/freeu.py) — the
+    # VERDICT r3 item-4 attempt at deleting the FFT data-movement floor
+    "proxy_config4_matmul": {"SONAR_TPU_FREEU_MATMUL": "1"},
     "noise_fused": {"SONAR_TPU_FUSED_PYRAMID": "1"},
     "noise_bulk_fused": {"SONAR_TPU_FUSED_PYRAMID": "1"},
 }
@@ -880,7 +885,8 @@ _CORE = ["sampler", "noise", "anchor", "proxy_euler", "proxy_config3",
 # blowup from the ~795s SDXL pair compile predicts 4770-7950s — beyond
 # any per-metric ceiling, and a guaranteed mid-compile kill risks wedging
 # the tunnel (ADVICE r3).
-_EXTRAS = ["dit_sampler", "voronoi", "voronoi_anchor", "sampler_b8",
+_EXTRAS = ["proxy_config4_matmul",
+           "dit_sampler", "voronoi", "voronoi_anchor", "sampler_b8",
            "power", "noise_bulk",
            "fused_old_ab", "fused_highres_ab", "fused_ab", "noise_fused",
            "noise_bulk_fused", "hw_ab", "noise_hw",
@@ -897,7 +903,8 @@ _MIN_LAUNCH = {"sdxl_euler": 700, "sdxl_config3": 700, "sdxl_config4": 800,
                "sdxl_euler_batched": 2400, "sdxl_euler_bf16": 500,
                "sdxl_euler_fast": 2400,
                "proxy_euler": 300, "proxy_config3": 300,
-               "proxy_config4": 350, "video_noise": 100,
+               "proxy_config4": 350, "proxy_config4_matmul": 350,
+               "video_noise": 100,
                "proxy_euler_batched": 1400, "proxy_euler_bf16": 200,
                "proxy_euler_fast": 1400, "proxy_config3_fast": 1400}
 
@@ -1071,6 +1078,11 @@ def _emit(r, timings):
             "config4_overhead_proxy_pct": _rnd(
                 None if r.get("proxy_config4") is None or peul is None
                 else (r["proxy_config4"] - peul) / peul * 100.0, 2),
+            "proxy_config4_matmul_per_call_ms":
+                _rnd(r.get("proxy_config4_matmul")),
+            "config4_matmul_overhead_proxy_pct": _rnd(
+                None if r.get("proxy_config4_matmul") is None or peul is None
+                else (r["proxy_config4_matmul"] - peul) / peul * 100.0, 2),
             "sdxl_config4_per_call_ms": _rnd(r.get("sdxl_config4")),
             "config4_overhead_pct": _rnd(
                 None if r.get("sdxl_config4") is None or eul is None

@@ -12,20 +12,63 @@ constant folding); the sampling-percentage window is a traced select.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Any, Callable, Sequence
 
 import jax.numpy as jnp
+import numpy as np
 
 from ..core.blend import BLENDING_MODES
 from ..noise.power import PowerFilter
 
 
+def _ffilter_mode() -> str:
+    """SONAR_TPU_FREEU_MATMUL: "0" (default) keeps the rfft2·gain·irfft2
+    composition; "1" collapses the whole spectral filter into ONE real
+    MXU matmul at HIGHEST precision; "fast" at DEFAULT precision.
+
+    Why a matmul: the config-4 decomposition (profiles/ANALYSIS.md §9)
+    measured the filter floor at +5.1% and attributed it to data movement
+    — the FFT ops can't fuse with their elementwise neighbours, so each
+    of the ~9 stage-1 activations round-trips HBM several times with
+    complex intermediates. But ``irfft2(rfft2(x)·F)`` is one STATIC real
+    linear map per (shape, filter): precomputing K = response-to-basis on
+    the host turns the filter into ``x_flat @ K`` — read x, read K, write
+    y, zero intermediates, and the scale/blend epilogue fuses into the
+    matmul. Gated to spatial ≤ 32×32 (K is (hw)² — 4 MB at 32², 64 MB at
+    64² would bloat the program)."""
+    return os.environ.get("SONAR_TPU_FREEU_MATMUL", "0")
+
+
+_MATMUL_MAX_HW = 1024  # 32x32; K grows as (h*w)^2
+
+
+def _ffilter_matrix(filt: np.ndarray, h: int, w: int) -> np.ndarray:
+    """Dense (hw, hw) real operator with y_flat = x_flat @ K: row j is the
+    filter's response to the j-th spatial basis image (float64 host FFTs,
+    cast to f32 once)."""
+    eye = np.eye(h * w, dtype=np.float64).reshape(h * w, h, w)
+    spec = np.fft.rfft2(eye, norm="ortho") * np.asarray(filt, np.float64)
+    return np.fft.irfft2(spec, s=(h, w), norm="ortho").reshape(
+        h * w, h * w).astype(np.float32)
+
+
 def ffilter(x, pfilter: PowerFilter, normalization_factor: float = 1.0):
-    """rfft2 · filter · irfft2 in float32 (freeu_extreme.py:10-29)."""
+    """rfft2 · filter · irfft2 in float32 (freeu_extreme.py:10-29), or the
+    equivalent one-matmul operator (see :func:`_ffilter_mode`)."""
     filt = PowerFilter.normalize(
         pfilter.build(x.shape), x.shape,
         normalization_factor=normalization_factor,
     )
+    h, w = x.shape[-2:]
+    mode = _ffilter_mode()
+    if mode != "0" and h * w <= _MATMUL_MAX_HW:
+        k = jnp.asarray(_ffilter_matrix(filt, h, w))
+        x32 = x.astype(jnp.float32).reshape(*x.shape[:-2], h * w)
+        out = jnp.matmul(
+            x32, k,
+            precision=("highest" if mode != "fast" else "default"))
+        return out.reshape(x.shape).astype(x.dtype)
     x32 = x.astype(jnp.float32)
     x_rfft = jnp.fft.rfft2(x32, norm="ortho")
     out = jnp.fft.irfft2(x_rfft * jnp.asarray(filt, jnp.float32),

@@ -400,3 +400,71 @@ def test_prepare_ref_latent_strict_compat_flag():
     assert bool(jnp.isfinite(safe).all())
     strict = prepare_ref_latent(const, strict_reference_compat=True)
     assert not bool(jnp.isfinite(strict).all())
+
+
+class TestFFilterMatmul:
+    """The one-matmul spectral filter (SONAR_TPU_FREEU_MATMUL) must equal
+    the rfft2·gain·irfft2 composition — it is the same linear operator."""
+
+    def _pair(self, shape, monkeypatch, mode="1"):
+        import numpy as np
+
+        from sonar_tpu.cfg.freeu import ffilter
+        from sonar_tpu.noise.power import PowerFilter
+
+        pf = PowerFilter(alpha=0.4)
+        x = jnp.asarray(
+            np.random.default_rng(0).standard_normal(shape), jnp.float32)
+        monkeypatch.delenv("SONAR_TPU_FREEU_MATMUL", raising=False)
+        ref = jax.jit(lambda v: ffilter(v, pf, 0.25))(x)
+        monkeypatch.setenv("SONAR_TPU_FREEU_MATMUL", mode)
+        got = jax.jit(lambda v: ffilter(v, pf, 0.25))(x)
+        return np.asarray(ref), np.asarray(got)
+
+    @pytest.mark.parametrize("shape", [(1, 8, 16, 16), (2, 4, 32, 32),
+                                       (1, 4, 16, 24), (1, 4, 15, 17)])
+    def test_matmul_equals_fft(self, shape, monkeypatch):
+        import numpy as np
+
+        ref, got = self._pair(shape, monkeypatch)
+        scale = max(1.0, float(np.abs(ref).max()))
+        assert np.abs(ref - got).max() / scale < 3e-6
+
+    def test_fast_mode_is_close(self, monkeypatch):
+        import numpy as np
+
+        ref, got = self._pair((1, 8, 16, 16), monkeypatch, mode="fast")
+        scale = max(1.0, float(np.abs(ref).max()))
+        assert np.abs(ref - got).max() / scale < 2e-2  # bf16 MXU inputs
+
+    def test_large_spatial_falls_back_to_fft(self, monkeypatch):
+        import numpy as np
+
+        # above the K-size gate both modes run the SAME fft path
+        ref, got = self._pair((1, 2, 64, 64), monkeypatch)
+        np.testing.assert_array_equal(ref, got)
+
+    def test_freeu_apply_through_matmul(self, monkeypatch):
+        """Full config-4-style FreeU patch chain under the matmul filter."""
+        import numpy as np
+
+        from sonar_tpu.cfg import FreeUExtremeConfig, make_freeu_patches
+        from sonar_tpu.cfg.model_sampling import DiscreteSampling
+        from sonar_tpu.noise.power import PowerFilter
+
+        frux = FreeUExtremeConfig(target="backbone", stage_1=True,
+                                  scale=1.12, slice=0.75,
+                                  sonar_power_filter=PowerFilter(alpha=0.4))
+        patches = make_freeu_patches(model_sampling=DiscreteSampling(),
+                                     model_channels=8,
+                                     input_config=frux, output_config=frux)
+        x = jnp.asarray(
+            np.random.default_rng(1).standard_normal((1, 16, 16, 32)),
+            jnp.float32)
+        ctx = {"sigma": jnp.asarray([3.0])}
+        monkeypatch.delenv("SONAR_TPU_FREEU_MATMUL", raising=False)
+        ref = jax.jit(lambda v: patches["input"][0](v, ctx))(x)
+        monkeypatch.setenv("SONAR_TPU_FREEU_MATMUL", "1")
+        got = jax.jit(lambda v: patches["input"][0](v, ctx))(x)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)

@@ -65,7 +65,16 @@ def run_variant(name: str) -> float:
         from bench import bench_sdxl_euler_per_call_ms
 
         return bench_sdxl_euler_per_call_ms()
-    pipe, params, x0, sigmas = _freeu_pipeline(with_filter=(name == "C"))
+    # D/E: the one-matmul filter operator (cfg/freeu.py _ffilter_mode) —
+    # D at HIGHEST matmul precision (numerically equal to the FFT path),
+    # E at DEFAULT (bf16 MXU inputs). VERDICT r3 item 4: the +5.1% floor
+    # was attributed to FFT data movement; the K-matrix path deletes the
+    # complex intermediates entirely.
+    if name == "D":
+        os.environ["SONAR_TPU_FREEU_MATMUL"] = "1"
+    elif name == "E":
+        os.environ["SONAR_TPU_FREEU_MATMUL"] = "fast"
+    pipe, params, x0, sigmas = _freeu_pipeline(with_filter=(name != "B"))
     return _time_pipeline(pipe, params, x0, sigmas, stages=1)
 
 
@@ -75,10 +84,11 @@ def main():
         return
     from bench import subprocess_float
 
+    variants = sys.argv[1] if len(sys.argv) >= 2 else "ABCDE"
     env = dict(os.environ)
     env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/sonar_jax_cache")
     out = {}
-    for name in ("A", "B", "C"):
+    for name in variants:
         out[name] = subprocess_float(
             [sys.executable, __file__, "--single", name], env=env,
             label=name)
@@ -90,6 +100,12 @@ def main():
         out["machinery_pct"] = round((b - a) / a * 100.0, 2)
         out["fft_pct"] = round((c - b) / a * 100.0, 2)
         out["total_pct"] = round((c - a) / a * 100.0, 2)
+    if out.get("A") and out.get("D"):
+        out["matmul_total_pct"] = round(
+            (out["D"] - out["A"]) / out["A"] * 100.0, 2)
+    if out.get("A") and out.get("E"):
+        out["matmul_fast_total_pct"] = round(
+            (out["E"] - out["A"]) / out["A"] * 100.0, 2)
     print(json.dumps(out))
 
 
