@@ -37,9 +37,15 @@ NPIX = SHAPE[0] * SHAPE[1] * SHAPE[2] * SHAPE[3]
 REF_TYPES = ["pyramid", "pyramid_old", "highres_pyramid", "voronoi",
              "collatz", "perlin", "onef_pinkish", "studentt", "distro"]
 ALL_TYPES = REF_TYPES + ["voronoi32", "voronoi256", "wavelet", "scatternet"]
+# VERDICT r3 item 9: studentt/distro sit near the 10x bar at (1,4,128,128)
+# because that shape is bound by per-program tunnel overhead, not compute.
+# The bulk rows draw ONE (64,4,128,128) batch per program on both sides —
+# the serving-shaped measurement of real generator capability.
+BULK_TYPES = ["studentt", "distro"]
+BULK_BATCH = 64
 
 
-def _ref_sampler(name):
+def _ref_sampler(name, shape=SHAPE):
     import torch
 
     from _reference_loader import load_reference
@@ -48,7 +54,7 @@ def _ref_sampler(name):
     assert pkg is not None, "reference tree unavailable"
     ref_noise = sys.modules["sonar_reference.py.noise"]
     torch.manual_seed(1234)
-    x = torch.zeros(SHAPE)
+    x = torch.zeros(shape)
     if name.startswith("voronoi"):
         # plain voronoi is not in the reference's NoiseType registry (only
         # voronoi_mix/_fuzz are); instantiate the generator directly with
@@ -147,6 +153,18 @@ def _scat_anchor():
 
 
 def measure_anchor(name: str, iters: int = 5) -> float:
+    if name.endswith("@bulk"):
+        import torch
+
+        base = name[: -len("@bulk")]
+        fn = _ref_sampler(base, shape=(BULK_BATCH,) + SHAPE[1:])
+        fn()
+        t0 = time.perf_counter()
+        for _ in range(max(2, iters // 2)):
+            out = fn()
+        dt = (time.perf_counter() - t0) / max(2, iters // 2)
+        del out
+        return BULK_BATCH * NPIX / SHAPE[0] / dt / 1e6
     if name == "wavelet":
         fn = _haar_dwt_anchor()
     elif name == "scatternet":
@@ -162,10 +180,7 @@ def measure_anchor(name: str, iters: int = 5) -> float:
     return NPIX / dt / 1e6
 
 
-def measure_tpu(name: str) -> float:
-    """TPU side via tools/bench_slow_types.measure (slope-timed)."""
-    import bench_slow_types as bst
-
+def _register_tpu_item(bst, name: str) -> None:
     if name == "voronoi256":
         from sonar_tpu.noise.voronoi import VoronoiGenerator
 
@@ -184,6 +199,17 @@ def measure_tpu(name: str) -> float:
         from sonar_tpu.noise.distro import DistroGenerator
 
         bst.ITEMS["distro"] = lambda: DistroGenerator()
+
+
+def measure_tpu(name: str) -> float:
+    """TPU side via tools/bench_slow_types.measure (slope-timed)."""
+    import bench_slow_types as bst
+
+    if name.endswith("@bulk"):
+        base = name[: -len("@bulk")]
+        _register_tpu_item(bst, base)
+        return bst.measure(base, iters=1, shape=(BULK_BATCH,) + SHAPE[1:])
+    _register_tpu_item(bst, name)
     return bst.measure(name, iters=20)
 
 
@@ -201,7 +227,10 @@ def main():
     env = dict(os.environ)
     env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/sonar_jax_cache")
     out = {}
-    for name in ALL_TYPES:
+    types = ALL_TYPES + [f"{t}@bulk" for t in BULK_TYPES]
+    if mode == "bulk":
+        types, mode = [f"{t}@bulk" for t in BULK_TYPES], "table"
+    for name in types:
         row = {}
         if mode in ("anchors", "table"):
             row["anchor"] = subprocess_float(

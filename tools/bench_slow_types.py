@@ -45,11 +45,11 @@ def _scatternet():
     return build("SonarScatternetFilteredNoise", custom_noise=chain)
 
 
-def measure(name, iters=50) -> float:
+def measure(name, iters=50, shape=SHAPE) -> float:
     from sonar_tpu.noise.base import make_noise_sampler
 
     item = ITEMS[name]()
-    fn, st = make_noise_sampler(item, SHAPE, seed=3, sigma_min=0.03,
+    fn, st = make_noise_sampler(item, shape, seed=3, sigma_min=0.03,
                                 sigma_max=14.6)
 
     @jax.jit
@@ -62,7 +62,7 @@ def measure(name, iters=50) -> float:
 
     dt = _timeit_slope(draw_many, st, g1=2, g2=8, reps=4)
     npix = 1
-    for d in SHAPE:
+    for d in shape:
         npix *= d
     return npix * iters / dt / 1e6
 
