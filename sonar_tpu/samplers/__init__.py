@@ -3,7 +3,9 @@ from .kdiffusion import (
     KDIFFUSION_SAMPLERS,
     sample_ddim,
     sample_dpmpp_2m,
+    sample_dpmpp_2m_sde,
     sample_dpmpp_2s_ancestral,
+    sample_dpmpp_3m_sde,
     sample_euler,
     sample_euler_ancestral,
     sample_heun,
@@ -38,7 +40,9 @@ __all__ = [
     "get_ancestral_step",
     "sample_ddim",
     "sample_dpmpp_2m",
+    "sample_dpmpp_2m_sde",
     "sample_dpmpp_2s_ancestral",
+    "sample_dpmpp_3m_sde",
     "sample_euler",
     "sample_euler_ancestral",
     "sample_heun",

@@ -43,6 +43,8 @@ __all__ = [
     "sample_heun",
     "sample_dpmpp_2m",
     "sample_dpmpp_2s_ancestral",
+    "sample_dpmpp_2m_sde",
+    "sample_dpmpp_3m_sde",
     "sample_ddim",
     "sample_lcm",
     "KDIFFUSION_SAMPLERS",
@@ -445,12 +447,156 @@ def sample_lcm(
                      stop_step=stop_step, return_state=return_state)
 
 
+
+def sample_dpmpp_2m_sde(
+    model: Callable,
+    x: jax.Array,
+    sigmas: jax.Array,
+    *,
+    eta: float = 1.0,
+    s_noise: float = 1.0,
+    solver_type: str = "midpoint",
+    noise_item: NoiseItem | None = None,
+    noise_sampler: Callable | None = None,
+    seed: int | None = None,
+    extra_args: dict | None = None,
+    callback=None,
+    method: str = "scan",
+    resume_from=None,
+    start_step: int = 0,
+    stop_step: int | None = None,
+    return_state: bool = False,
+) -> jax.Array:
+    """k-diffusion ``sample_dpmpp_2m_sde``: multistep SDE DPM-Solver++
+    (the most common ComfyUI production sampler alongside dpmpp_2m).
+    Default noise is brownian, like the reference's SDE family
+    (py/sonar.py:627). ``solver_type``: "midpoint" (default) or "heun"."""
+    if solver_type not in ("midpoint", "heun"):
+        raise ValueError(f"solver_type must be 'midpoint' or 'heun', "
+                         f"got {solver_type!r}")
+    sigmas = jnp.asarray(sigmas)
+    model_fn, noise_fn, noise_state = _kd_setup(
+        model, x, sigmas, default_noise_type="brownian",
+        noise_item=noise_item, noise_sampler=noise_sampler, seed=seed,
+        extra_args=extra_args, need_noise=True)
+
+    def step_fn(carry, i):
+        xc, aux, nstate = carry
+        old_denoised, h_last, has = aux
+        sigma, sigma_next = sigmas[i], sigmas[i + 1]
+        denoised = model_fn(xc, sigma)
+        sn_safe = jnp.maximum(sigma_next, _EPS)
+        h = jnp.log(sigma) - jnp.log(sn_safe)  # h = t_next - t, t = -log
+        eta_h = eta * h
+        out = (sn_safe / sigma) * jnp.exp(-eta_h) * xc \
+            - jnp.expm1(-h - eta_h) * denoised
+        r = h_last / jnp.where(h == 0, _EPS, h)
+        inv_r = 1.0 / jnp.maximum(r, _EPS)
+        if solver_type == "heun":
+            corr = (jnp.expm1(-h - eta_h) / jnp.where(
+                h + eta_h == 0, _EPS, h + eta_h) + 1.0) * inv_r
+        else:
+            corr = -0.5 * jnp.expm1(-h - eta_h) * inv_r
+        out = jnp.where(has & (i > 0),
+                        out + corr * (denoised - old_denoised), out)
+        if eta:
+            noise, nstate = noise_fn(nstate, i, sigma, sigma_next)
+            bump = jnp.sqrt(jnp.maximum(-jnp.expm1(-2.0 * eta_h), 0.0))
+            out = out + noise * (s_noise * sn_safe * bump)
+        out = jnp.where(sigma_next > 0, out, denoised)
+        aux = (denoised, h, jnp.ones((), bool))
+        return (out, aux, nstate), {"x": out, "sigma": sigma,
+                                    "sigma_hat": sigma, "denoised": denoised}
+
+    aux0 = (jnp.zeros_like(x), jnp.zeros((), jnp.float32),
+            jnp.zeros((), bool))
+    return _run_loop(step_fn, x, sigmas.shape[0] - 1, aux0, noise_state,
+                     callback=callback, method=method,
+                     resume_from=resume_from, start_step=start_step,
+                     stop_step=stop_step, return_state=return_state)
+
+
+def sample_dpmpp_3m_sde(
+    model: Callable,
+    x: jax.Array,
+    sigmas: jax.Array,
+    *,
+    eta: float = 1.0,
+    s_noise: float = 1.0,
+    noise_item: NoiseItem | None = None,
+    noise_sampler: Callable | None = None,
+    seed: int | None = None,
+    extra_args: dict | None = None,
+    callback=None,
+    method: str = "scan",
+    resume_from=None,
+    start_step: int = 0,
+    stop_step: int | None = None,
+    return_state: bool = False,
+) -> jax.Array:
+    """k-diffusion ``sample_dpmpp_3m_sde``: third-order multistep SDE
+    solver (two denoised histories ride the carry; the order-2 and
+    order-3 corrections activate as history accumulates, exactly the
+    reference's ``h_1/h_2 is None`` ladder as traced selects)."""
+    sigmas = jnp.asarray(sigmas)
+    model_fn, noise_fn, noise_state = _kd_setup(
+        model, x, sigmas, default_noise_type="brownian",
+        noise_item=noise_item, noise_sampler=noise_sampler, seed=seed,
+        extra_args=extra_args, need_noise=True)
+
+    def step_fn(carry, i):
+        xc, aux, nstate = carry
+        den_1, den_2, h_1, h_2, n_hist = aux
+        sigma, sigma_next = sigmas[i], sigmas[i + 1]
+        denoised = model_fn(xc, sigma)
+        sn_safe = jnp.maximum(sigma_next, _EPS)
+        h = jnp.log(sigma) - jnp.log(sn_safe)
+        h_eta = h * (eta + 1.0)
+        out = jnp.exp(-h_eta) * xc - jnp.expm1(-h_eta) * denoised
+        hs = jnp.where(h == 0, _EPS, h)
+        phi_2 = jnp.expm1(-h_eta) / jnp.where(h_eta == 0, _EPS, h_eta) + 1.0
+        phi_3 = phi_2 / jnp.where(h_eta == 0, _EPS, h_eta) - 0.5
+        # order-2 correction (one history entry)
+        r0 = h_1 / hs
+        d1_o2 = (denoised - den_1) / jnp.maximum(r0, _EPS)
+        out_o2 = out + phi_2 * d1_o2
+        # order-3 correction (two history entries)
+        r1 = h_2 / hs
+        d1_0 = d1_o2
+        d1_1 = (den_1 - den_2) / jnp.maximum(r1, _EPS)
+        rsum = jnp.maximum(r0 + r1, _EPS)
+        d1 = d1_0 + (d1_0 - d1_1) * (r0 / rsum)
+        d2 = (d1_0 - d1_1) / rsum
+        out_o3 = out + phi_2 * d1 - phi_3 * d2
+        out = jnp.where(n_hist >= 2, out_o3,
+                        jnp.where(n_hist == 1, out_o2, out))
+        if eta:
+            noise, nstate = noise_fn(nstate, i, sigma, sigma_next)
+            bump = jnp.sqrt(jnp.maximum(-jnp.expm1(-2.0 * h * eta), 0.0))
+            out = out + noise * (s_noise * sn_safe * bump)
+        out = jnp.where(sigma_next > 0, out, denoised)
+        aux = (denoised, den_1, h, h_1,
+               jnp.minimum(n_hist + 1, jnp.asarray(2, jnp.int32)))
+        return (out, aux, nstate), {"x": out, "sigma": sigma,
+                                    "sigma_hat": sigma, "denoised": denoised}
+
+    aux0 = (jnp.zeros_like(x), jnp.zeros_like(x),
+            jnp.zeros((), jnp.float32), jnp.zeros((), jnp.float32),
+            jnp.zeros((), jnp.int32))
+    return _run_loop(step_fn, x, sigmas.shape[0] - 1, aux0, noise_state,
+                     callback=callback, method=method,
+                     resume_from=resume_from, start_step=start_step,
+                     stop_step=stop_step, return_state=return_state)
+
+
 KDIFFUSION_SAMPLERS = {
     "euler": sample_euler,
     "euler_ancestral": sample_euler_ancestral,
     "heun": sample_heun,
     "dpmpp_2m": sample_dpmpp_2m,
     "dpmpp_2s_ancestral": sample_dpmpp_2s_ancestral,
+    "dpmpp_2m_sde": sample_dpmpp_2m_sde,
+    "dpmpp_3m_sde": sample_dpmpp_3m_sde,
     "ddim": sample_ddim,
     "lcm": sample_lcm,
 }

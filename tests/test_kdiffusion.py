@@ -347,3 +347,103 @@ def test_lcm_rf_mode(x0):
         x = denoised if sigma_next == 0 else (
             (1 - sigma_next) * denoised + stream[i] * sigma_next)
     _close(got, x)
+
+
+def np_dpmpp_2m_sde(x, sigmas, noise, eta=1.0, s_noise=1.0,
+                    solver_type="midpoint"):
+    x = x.astype(np.float64)
+    old, h_last = None, None
+    for i in range(len(sigmas) - 1):
+        sigma, sigma_next = float(sigmas[i]), float(sigmas[i + 1])
+        denoised = np_model(x, sigma)
+        if sigma_next == 0:
+            x = denoised
+        else:
+            t, s = -math.log(sigma), -math.log(sigma_next)
+            h = s - t
+            eta_h = eta * h
+            x = (sigma_next / sigma) * math.exp(-eta_h) * x \
+                - np.expm1(-h - eta_h) * denoised
+            if old is not None:
+                r = h_last / h
+                if solver_type == "heun":
+                    x = x + (np.expm1(-h - eta_h) / (h + eta_h) + 1) \
+                        * (1 / r) * (denoised - old)
+                else:
+                    x = x + 0.5 * -np.expm1(-h - eta_h) * (1 / r) \
+                        * (denoised - old)
+            if eta:
+                x = x + noise[i] * sigma_next \
+                    * math.sqrt(-np.expm1(-2 * eta_h)) * s_noise
+        old, h_last = denoised, (h if sigma_next else h_last)
+    return x
+
+
+def np_dpmpp_3m_sde(x, sigmas, noise, eta=1.0, s_noise=1.0):
+    x = x.astype(np.float64)
+    den_1 = den_2 = None
+    h_1 = h_2 = None
+    for i in range(len(sigmas) - 1):
+        sigma, sigma_next = float(sigmas[i]), float(sigmas[i + 1])
+        denoised = np_model(x, sigma)
+        if sigma_next == 0:
+            x = denoised
+        else:
+            t, s = -math.log(sigma), -math.log(sigma_next)
+            h = s - t
+            h_eta = h * (eta + 1)
+            x = math.exp(-h_eta) * x - np.expm1(-h_eta) * denoised
+            phi_2 = np.expm1(-h_eta) / h_eta + 1
+            phi_3 = phi_2 / h_eta - 0.5
+            if h_2 is not None:
+                r0, r1 = h_1 / h, h_2 / h
+                d1_0 = (denoised - den_1) / r0
+                d1_1 = (den_1 - den_2) / r1
+                d1 = d1_0 + (d1_0 - d1_1) * r0 / (r0 + r1)
+                d2 = (d1_0 - d1_1) / (r0 + r1)
+                x = x + phi_2 * d1 - phi_3 * d2
+            elif h_1 is not None:
+                r = h_1 / h
+                x = x + phi_2 * ((denoised - den_1) / r)
+            if eta:
+                x = x + noise[i] * sigma_next \
+                    * math.sqrt(-np.expm1(-2 * h * eta)) * s_noise
+            den_1, den_2 = denoised, den_1
+            h_1, h_2 = h, h_1
+    return x
+
+
+@pytest.mark.parametrize("solver", ["midpoint", "heun"])
+@pytest.mark.parametrize("eta", [1.0, 0.0])
+def test_dpmpp_2m_sde_oracle(x0, solver, eta):
+    from sonar_tpu.samplers import sample_dpmpp_2m_sde
+
+    sigmas = karras()
+    stream = make_stream(N_STEPS)
+    _close(_run(sample_dpmpp_2m_sde, x0, sigmas, stream, eta=eta,
+                solver_type=solver),
+           np_dpmpp_2m_sde(x0, sigmas, stream, eta=eta, solver_type=solver))
+
+
+@pytest.mark.parametrize("eta", [1.0, 0.4, 0.0])
+def test_dpmpp_3m_sde_oracle(x0, eta):
+    from sonar_tpu.samplers import sample_dpmpp_3m_sde
+
+    sigmas = karras()
+    stream = make_stream(N_STEPS)
+    _close(_run(sample_dpmpp_3m_sde, x0, sigmas, stream, eta=eta),
+           np_dpmpp_3m_sde(x0, sigmas, stream, eta=eta))
+
+
+def test_sde_samplers_registered_with_brownian_default():
+    from sonar_tpu.samplers import SAMPLERS, sample_dpmpp_2m_sde
+
+    assert SAMPLERS["dpmpp_2m_sde"] is sample_dpmpp_2m_sde
+    assert "dpmpp_3m_sde" in SAMPLERS
+    # default (no injected stream) draws brownian noise and stays finite
+    sigmas = karras()
+    out = np.asarray(jax.jit(
+        lambda x: SAMPLERS["dpmpp_3m_sde"](jx_model, x,
+                                           jnp.asarray(sigmas), seed=5))(
+            jnp.asarray(np.ones(SHAPE, np.float32) * 14.6)))
+    assert np.isfinite(out).all()
