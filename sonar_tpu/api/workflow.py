@@ -35,6 +35,12 @@ from .nodes import NODES, build
 __all__ = ["read_png_metadata", "read_workflow", "port_workflow",
            "pipeline_from_workflow", "PortResult"]
 
+# HOST nodes that invoke sampling (never built here — the model lives with
+# the caller) whose literal widgets carry the run configuration
+HOST_SAMPLER_INVOKERS = frozenset({
+    "SamplerCustom", "SamplerCustomAdvanced", "KSampler", "KSamplerAdvanced",
+})
+
 # node classes whose built object is a sampler callable (model, x, sigmas)
 SAMPLER_NODE_CLASSES = frozenset({
     "SamplerSonarEuler", "SamplerSonarEulerA", "SamplerSonarDPMPPSDE",
@@ -99,6 +105,12 @@ class PortResult:
     failed: dict[str, str] = field(default_factory=dict)
     warnings: list[str] = field(default_factory=list)
     consumed: set = field(default_factory=set)
+    # literal widget values harvested off the HOST sampler-invocation node
+    # (SamplerCustom / KSampler(Advanced)): cfg, noise_seed/seed, and —
+    # for the KSampler family — sampler_name/scheduler/steps/denoise.
+    # pipeline_from_workflow uses these as pipeline defaults so a ported
+    # workflow runs with ITS cfg scale, seed, and sampler selection.
+    host_sampler: dict = field(default_factory=dict)
 
     @property
     def sigmas(self):
@@ -109,6 +121,18 @@ class PortResult:
             if self.classes[nid].endswith("Scheduler"):
                 out = obj
         return out
+
+    def host_sigmas(self, model_sampling=None):
+        """A sigma schedule from the host KSampler(Advanced) widgets, when
+        the workflow carried no native scheduler node (scheduler + steps
+        + denoise; start/end_at_step windows are not applied)."""
+        hs = self.host_sampler
+        if "scheduler" not in hs or "steps" not in hs:
+            return None
+        from ..samplers.schedules import get_sigmas
+
+        return get_sigmas(hs["scheduler"], int(hs["steps"]), model_sampling,
+                          denoise=float(hs.get("denoise", 1.0)))
 
     @property
     def noise_roots(self) -> dict[str, Any]:
@@ -258,6 +282,16 @@ def port_workflow(source, *, model_sampling=None, externals=None,
 
     for nid in graph:
         resolve(nid)
+    for nid, node in graph.items():
+        if res.classes[nid] in HOST_SAMPLER_INVOKERS:
+            ins = {k: v for k, v in node.get("inputs", {}).items()
+                   if not _is_link(v, graph)}
+            picked = {k: ins[k] for k in
+                      ("cfg", "noise_seed", "seed", "sampler_name",
+                       "scheduler", "steps", "denoise", "add_noise")
+                      if k in ins}
+            if picked:
+                res.host_sampler = picked  # last invoker wins
     return res
 
 
@@ -309,6 +343,24 @@ def pipeline_from_workflow(source, *, model, model_uncond=None,
     kwargs = dict(pipeline_kwargs)
     if sampler is not None:
         kwargs.setdefault("sampler", sampler)
+    # the workflow's OWN run configuration (cfg scale, seed, and — for the
+    # KSampler family — the sampler selection) rides the host invoker node
+    host = res.host_sampler
+    if "cfg" in host:
+        kwargs.setdefault("cfg_scale", float(host["cfg"]))
+    host_seed = host.get("noise_seed", host.get("seed"))
+    if host_seed is not None:
+        kwargs.setdefault("seed", int(host_seed))
+    if sampler is None and isinstance(host.get("sampler_name"), str):
+        from .functions import SAMPLERS
+
+        name = host["sampler_name"]
+        if name in SAMPLERS:
+            kwargs.setdefault("sampler", SAMPLERS[name])
+        else:
+            res.warnings.append(
+                f"host sampler_name {name!r} is not in the native "
+                "registry; pipeline keeps its default sampler")
     roots = res.noise_roots
     if roots:
         nid = list(roots)[-1]

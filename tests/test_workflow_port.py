@@ -264,3 +264,57 @@ def test_ksampler_select_feeding_override_is_consumed():
     sigmas = jnp.asarray([14.6, 3.0, 0.5, 0.0], jnp.float32)
     out = np.asarray(pipe(jnp.ones((1, 4, 16, 16)) * 14.6, sigmas))
     assert np.isfinite(out).all()
+
+
+def test_host_invoker_config_harvested():
+    """cfg/noise_seed ride the host SamplerCustom node (103/105 corpus
+    workflows); KSamplerAdvanced additionally carries the full recipe
+    (sampler_name/scheduler/steps). pipeline_from_workflow must default
+    the pipeline to the workflow's own run configuration."""
+    from sonar_tpu.api import pipeline_from_workflow
+    from sonar_tpu.samplers import SAMPLERS
+    from sonar_tpu.cfg import DiscreteSampling
+
+    g = {
+        "1": {"class_type": "SonarCustomNoise",
+              "inputs": {"noise_type": "pyramid", "factor": 1.0,
+                         "rescale": 0.0}},
+        "9": {"class_type": "KSamplerAdvanced",
+              "inputs": {"cfg": 6.5, "noise_seed": 1234,
+                         "sampler_name": "dpmpp_2m_sde",
+                         "scheduler": "karras", "steps": 12,
+                         "add_noise": "enable", "start_at_step": 0,
+                         "end_at_step": 10000,
+                         "model": ["99", 0]}},
+    }
+
+    def toy_model(x, sb, **kw):
+        s = sb.reshape(-1, 1, 1, 1)
+        return x / (1.0 + s)
+
+    pipe, res = pipeline_from_workflow(g, model=toy_model)
+    assert res.host_sampler["cfg"] == 6.5
+    assert pipe.cfg_scale == 6.5
+    assert pipe.seed == 1234
+    assert pipe.sampler is SAMPLERS["dpmpp_2m_sde"]
+    sig = res.host_sigmas(DiscreteSampling())
+    assert sig is not None and sig.shape[0] == 13 and float(sig[-1]) == 0.0
+    out = np.asarray(pipe(jnp.ones((1, 4, 16, 16)) * float(sig[0]), sig))
+    assert np.isfinite(out).all()
+    # caller-passed kwargs still beat the harvested defaults
+    pipe2, _ = pipeline_from_workflow(g, model=toy_model, cfg_scale=2.0,
+                                      seed=7)
+    assert pipe2.cfg_scale == 2.0 and pipe2.seed == 7
+
+
+def test_corpus_host_invoker_coverage():
+    """Every corpus workflow with a host invoker yields cfg + seed."""
+    n = 0
+    for _p, g, _s in _corpus():
+        res = port_workflow(g, externals=EXTERNALS)
+        if res.host_sampler:
+            assert "cfg" in res.host_sampler
+            assert ("noise_seed" in res.host_sampler
+                    or "seed" in res.host_sampler)
+            n += 1
+    assert n >= 90
