@@ -6,6 +6,7 @@ from .kdiffusion import (
     sample_dpmpp_2m_sde,
     sample_dpmpp_2s_ancestral,
     sample_dpmpp_3m_sde,
+    sample_dpmpp_sde,
     sample_euler,
     sample_euler_ancestral,
     sample_heun,
@@ -43,6 +44,7 @@ __all__ = [
     "sample_dpmpp_2m_sde",
     "sample_dpmpp_2s_ancestral",
     "sample_dpmpp_3m_sde",
+    "sample_dpmpp_sde",
     "sample_euler",
     "sample_euler_ancestral",
     "sample_heun",

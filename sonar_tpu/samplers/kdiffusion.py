@@ -43,6 +43,7 @@ __all__ = [
     "sample_heun",
     "sample_dpmpp_2m",
     "sample_dpmpp_2s_ancestral",
+    "sample_dpmpp_sde",
     "sample_dpmpp_2m_sde",
     "sample_dpmpp_3m_sde",
     "sample_ddim",
@@ -589,14 +590,58 @@ def sample_dpmpp_3m_sde(
                      stop_step=stop_step, return_state=return_state)
 
 
+
+def sample_dpmpp_sde(
+    model: Callable,
+    x: jax.Array,
+    sigmas: jax.Array,
+    *,
+    eta: float = 1.0,
+    s_noise: float = 1.0,
+    r: float = 0.5,
+    noise_item: NoiseItem | None = None,
+    noise_sampler: Callable | None = None,
+    seed: int | None = None,
+    extra_args: dict | None = None,
+    callback=None,
+    method: str = "scan",
+    resume_from=None,
+    start_step: int = 0,
+    stop_step: int | None = None,
+    return_state: bool = False,
+) -> jax.Array:
+    """k-diffusion ``sample_dpmpp_sde``: the plain two-stage SDE solver.
+
+    With ``momentum == 1`` the sonar momentum machinery reduces exactly to
+    the k-diffusion step (``get_momentum_d`` early-outs, momentum_mix is
+    identity — verified by the numpy oracle in test_kdiffusion.py), so
+    this is the momentum loop pinned at 1 — one implementation, two
+    surfaces, including the midpoint ratio ``r`` the reference's
+    SamplerConfigOverride forwards to host SDE samplers
+    (py/nodes/misc.py:567-625)."""
+    from .sonar import sample_sonar_dpmpp_sde
+
+    return sample_sonar_dpmpp_sde(
+        model, x, sigmas, sonar_config=SonarConfig(momentum=1.0),
+        eta=eta, s_noise=s_noise, r=r, noise_item=noise_item,
+        noise_sampler=noise_sampler, seed=seed, extra_args=extra_args,
+        callback=callback, method=method, resume_from=resume_from,
+        start_step=start_step, stop_step=stop_step,
+        return_state=return_state)
+
+
 KDIFFUSION_SAMPLERS = {
     "euler": sample_euler,
     "euler_ancestral": sample_euler_ancestral,
     "heun": sample_heun,
     "dpmpp_2m": sample_dpmpp_2m,
     "dpmpp_2s_ancestral": sample_dpmpp_2s_ancestral,
-    "dpmpp_2m_sde": sample_dpmpp_2m_sde,
+    "dpmpp_sde": sample_dpmpp_sde,
+    "dpmpp_sde_gpu": sample_dpmpp_sde,     # ComfyUI _gpu = same math,
+    "dpmpp_2m_sde": sample_dpmpp_2m_sde,   # torch noise-device detail
+    "dpmpp_2m_sde_gpu": sample_dpmpp_2m_sde,
     "dpmpp_3m_sde": sample_dpmpp_3m_sde,
+    "dpmpp_3m_sde_gpu": sample_dpmpp_3m_sde,
     "ddim": sample_ddim,
     "lcm": sample_lcm,
 }

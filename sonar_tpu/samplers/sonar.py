@@ -319,6 +319,7 @@ def sample_sonar_dpmpp_sde(
     sonar_params: dict | None = None,
     eta: float = 1.0,
     s_noise: float = 1.0,
+    r: float = 0.5,
     noise_item: NoiseItem | None = None,
     noise_sampler: Callable | None = None,
     seed: int | None = None,
@@ -365,7 +366,6 @@ def sample_sonar_dpmpp_sde(
             adjusted = 1.0
         else:
             adjusted = jnp.where(mom["has"], m + (1 - m) / 2, m)
-        r = 1 / 2
         sn_safe = jnp.maximum(sigma_next, 1e-10)
         t, t_next = t_fn(sigma), t_fn(sn_safe)
         h = t_next - t

@@ -447,3 +447,54 @@ def test_sde_samplers_registered_with_brownian_default():
                                            jnp.asarray(sigmas), seed=5))(
             jnp.asarray(np.ones(SHAPE, np.float32) * 14.6)))
     assert np.isfinite(out).all()
+
+
+def np_dpmpp_sde(x, sigmas, noise2, eta=1.0, s_noise=1.0, r=0.5):
+    """k-diffusion sample_dpmpp_sde; noise2 indexed (2i, 2i+1)."""
+    x = x.astype(np.float64)
+    for i in range(len(sigmas) - 1):
+        sigma, sigma_next = float(sigmas[i]), float(sigmas[i + 1])
+        denoised = np_model(x, sigma)
+        if sigma_next == 0:
+            d = (x - denoised) / sigma
+            x = x + d * (sigma_next - sigma)
+        else:
+            t, t_next = -math.log(sigma), -math.log(sigma_next)
+            h = t_next - t
+            s = t + h * r
+            fac = 1 / (2 * r)
+            sd, su = np_ancestral(math.exp(-t), math.exp(-s), eta)
+            s_ = -math.log(sd)
+            x_2 = (math.exp(-s_) / math.exp(-t)) * x \
+                - np.expm1(t - s_) * denoised
+            x_2 = x_2 + noise2[2 * i] * s_noise * su
+            denoised_2 = np_model(x_2, math.exp(-s))
+            sd, su = np_ancestral(math.exp(-t), math.exp(-t_next), eta)
+            t_next_ = -math.log(sd)
+            denoised_d = (1 - fac) * denoised + fac * denoised_2
+            x = (math.exp(-t_next_) / math.exp(-t)) * x \
+                - np.expm1(t - t_next_) * denoised_d
+            x = x + noise2[2 * i + 1] * s_noise * su
+    return x
+
+
+@pytest.mark.parametrize("eta,r", [(1.0, 0.5), (0.7, 0.5), (1.0, 0.31),
+                                   (0.0, 0.5)])
+def test_dpmpp_sde_oracle(x0, eta, r):
+    """The plain dpmpp_sde alias (sonar loop pinned at momentum=1) must
+    reproduce the k-diffusion formula exactly, including the midpoint
+    ratio r the reference's SamplerConfigOverride forwards."""
+    from sonar_tpu.samplers import sample_dpmpp_sde
+
+    sigmas = karras()
+    stream = make_stream(2 * N_STEPS, seed=23)
+    _close(_run(sample_dpmpp_sde, x0, sigmas, stream, eta=eta, r=r),
+           np_dpmpp_sde(x0, sigmas, stream, eta=eta, r=r))
+
+
+def test_gpu_alias_names_registered():
+    from sonar_tpu.samplers import KDIFFUSION_SAMPLERS as K
+
+    assert K["dpmpp_sde_gpu"] is K["dpmpp_sde"]
+    assert K["dpmpp_2m_sde_gpu"] is K["dpmpp_2m_sde"]
+    assert K["dpmpp_3m_sde_gpu"] is K["dpmpp_3m_sde"]
