@@ -31,9 +31,19 @@ def main():
         src, model=model,
         externals={"mask": jnp.ones((64, 64)), "sampler": "sonar_euler"})
     print(report.summary())
+    if report.host_sampler:
+        # the workflow's own run configuration (cfg scale, seed, sampler
+        # selection) rides its host SamplerCustom/KSampler node and is
+        # already applied as the pipeline's defaults
+        print("host run config:", report.host_sampler,
+              "-> cfg_scale", pipe.cfg_scale, "seed", pipe.seed)
 
-    sigmas = jnp.concatenate([jnp.linspace(14.6, 0.03, 12),
-                              jnp.zeros((1,))]).astype(jnp.float32)
+    sigmas = report.sigmas  # a native scheduler node, if the workflow has one
+    if sigmas is None:
+        sigmas = report.host_sigmas()  # or the host KSampler widgets
+    if sigmas is None:
+        sigmas = jnp.concatenate([jnp.linspace(14.6, 0.03, 12),
+                                  jnp.zeros((1,))]).astype(jnp.float32)
     x0 = jax.random.normal(jax.random.key(0), (1, 4, 64, 64)) * 14.6
     out = jax.jit(lambda v: pipe(v, sigmas))(x0)
     print("sampled:", out.shape, "finite:", bool(jnp.isfinite(out).all()))
