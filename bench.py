@@ -696,6 +696,34 @@ def bench_video_noise_mpix(shape=_VIDEO_SHAPE, iters=20) -> float:
     return npix * iters / dt / 1e6
 
 
+def bench_proxy_overhead_ab() -> float:
+    """Config-3 overhead at proxy scale as an INTERLEAVED in-process A/B
+    (median slope-ratio, bench._ab_slope_samples): the subprocess-pair
+    metrics straddle tunnel phases at 4 ms/call (a -9% reading was
+    observed), while interleaving times both pipelines in the same phase
+    — any contamination degrades both sides equally and cancels in the
+    ratio. Returns the per-model-call overhead in percent (config3 runs
+    2 solver stages per step)."""
+    import statistics
+
+    from sonar_tpu.api import SonarPipeline
+    from sonar_tpu.samplers import SonarConfig
+
+    cond, uncond, ms, sigmas, x0, params = _proxy_setup()
+    pipe_e = SonarPipeline(model=cond, model_uncond=uncond,
+                           sampler="sonar_euler",
+                           sonar_config=SonarConfig(momentum=1.0),
+                           cfg_scale=7.0, model_sampling=ms, seed=7)
+    pipe_c = SonarPipeline(model=cond, model_uncond=uncond,
+                           model_sampling=ms, **_config3_pipe_kwargs())
+    run_e = jax.jit(lambda p, v: pipe_e(v, sigmas, extra_args={"params": p}))
+    run_c = jax.jit(lambda p, v: pipe_c(v, sigmas, extra_args={"params": p}))
+    med = statistics.median(_ab_slope_samples(
+        run_c, (params, x0), run_e, (params, x0), k=5))
+    # run-time ratio -> per-call overhead: config3 makes 2x the calls
+    return (med / 2.0 - 1.0) * 100.0
+
+
 def _proxy_setup():
     """Shrunk-SDXL proxy for the config-3 overhead pair: the full SDXL pair
     costs ~795s of UNCACHEABLE remote compile per metric (the tunnel relay
@@ -748,6 +776,7 @@ _SINGLE = {
     "proxy_euler_fast": bench_proxy_euler_fast_per_call_ms,
     "proxy_config3_fast": bench_proxy_config3_fast_per_call_ms,
     "proxy_config4": bench_proxy_config4_per_call_ms,
+    "proxy_overhead_ab": bench_proxy_overhead_ab,
     "proxy_config4_matmul": bench_proxy_config4_per_call_ms,
     "sdxl_config4": bench_sdxl_config4_per_call_ms,
     "video_noise": bench_video_noise_mpix,
@@ -768,7 +797,7 @@ _TIMEOUTS = {"sdxl_euler": 1200, "sdxl_config3": 1200,
              "sdxl_euler_fast": 2400,
              "proxy_euler": 560, "proxy_config3": 560,
              "proxy_config4": 700, "proxy_config4_matmul": 700,
-             "video_noise": 400,
+             "proxy_overhead_ab": 900, "video_noise": 400,
              "proxy_euler_batched": 1500, "proxy_euler_bf16": 560,
              "proxy_euler_fast": 1500, "proxy_config3_fast": 1500,
              "noise_fused": 900,
@@ -885,7 +914,7 @@ _CORE = ["sampler", "noise", "anchor", "proxy_euler", "proxy_config3",
 # blowup from the ~795s SDXL pair compile predicts 4770-7950s — beyond
 # any per-metric ceiling, and a guaranteed mid-compile kill risks wedging
 # the tunnel (ADVICE r3).
-_EXTRAS = ["proxy_config4_matmul",
+_EXTRAS = ["proxy_config4_matmul", "proxy_overhead_ab",
            "dit_sampler", "voronoi", "voronoi_anchor", "sampler_b8",
            "power", "noise_bulk",
            "fused_old_ab", "fused_highres_ab", "fused_ab", "noise_fused",
@@ -904,7 +933,7 @@ _MIN_LAUNCH = {"sdxl_euler": 700, "sdxl_config3": 700, "sdxl_config4": 800,
                "sdxl_euler_fast": 2400,
                "proxy_euler": 300, "proxy_config3": 300,
                "proxy_config4": 350, "proxy_config4_matmul": 350,
-               "video_noise": 100,
+               "proxy_overhead_ab": 400, "video_noise": 100,
                "proxy_euler_batched": 1400, "proxy_euler_bf16": 200,
                "proxy_euler_fast": 1400, "proxy_config3_fast": 1400}
 
@@ -1080,6 +1109,8 @@ def _emit(r, timings):
                 else (r["proxy_config4"] - peul) / peul * 100.0, 2),
             "proxy_config4_matmul_per_call_ms":
                 _rnd(r.get("proxy_config4_matmul")),
+            "config3_overhead_proxy_ab_pct":
+                _rnd(r.get("proxy_overhead_ab"), 2),
             "config4_matmul_overhead_proxy_pct": _rnd(
                 None if r.get("proxy_config4_matmul") is None or peul is None
                 else (r["proxy_config4_matmul"] - peul) / peul * 100.0, 2),
