@@ -751,6 +751,18 @@ def bench_tpu_probe() -> float:
     2026-08-17..19 outage), so main() runs this first in its own killable
     subprocess — a failed probe routes the run to the CPU-only metrics
     instead of burning the whole budget on children blocked in claim."""
+    import os
+
+    backend = jax.default_backend()
+    if os.environ.get("PALLAS_AXON_POOL_IPS") and backend not in (
+            "tpu", "axon"):
+        # the env declares a TPU pool but jax fell back to CPU: a
+        # dead-but-fast-failing tunnel (e.g. unroutable pool IP) must
+        # read as UNREACHABLE, not as a live device (post-outage
+        # behavior change, 2026-08-19: connect errors can fail fast
+        # instead of blocking in claim). Without a declared pool the
+        # session's backend IS the intended device (CI runs on CPU).
+        raise RuntimeError(f"tunnel expected but backend is {backend!r}")
     x = jnp.ones((8, 8), jnp.float32)
     y = jax.jit(lambda a: a @ a)(x)
     return float(jax.device_get(y)[0, 0])
