@@ -808,7 +808,7 @@ _TIMEOUTS = {"sdxl_euler": 1200, "sdxl_config3": 1200,
              "sdxl_euler_batched": 2400, "sdxl_euler_bf16": 1200,
              "sdxl_euler_fast": 2400,
              "proxy_euler": 560, "proxy_config3": 560,
-             "proxy_config4": 700, "proxy_config4_matmul": 700,
+             "proxy_config4": 700, "proxy_config4_fft": 700,
              "proxy_overhead_ab": 900, "video_noise": 400,
              "proxy_euler_batched": 1500, "proxy_euler_bf16": 560,
              "proxy_euler_fast": 1500, "proxy_config3_fast": 1500,
@@ -820,9 +820,9 @@ _TIMEOUTS = {"sdxl_euler": 1200, "sdxl_config3": 1200,
 # hardware-PRNG Pallas kernel enabled — profiles/ANALYSIS.md §1)
 _METRIC_ENV = {
     "noise_hw": {"SONAR_TPU_HW_RNG": "1"},
-    # config-4 with the one-matmul spectral filter (cfg/freeu.py) — the
-    # VERDICT r3 item-4 attempt at deleting the FFT data-movement floor
-    "proxy_config4_matmul": {"SONAR_TPU_FREEU_MATMUL": "1"},
+    # config-4 with the explicit FFT filter (the pre-round-4 default;
+    # the one-matmul operator is now the default path — cfg/freeu.py)
+    "proxy_config4_fft": {"SONAR_TPU_FREEU_MATMUL": "0"},
     "noise_fused": {"SONAR_TPU_FUSED_PYRAMID": "1"},
     "noise_bulk_fused": {"SONAR_TPU_FUSED_PYRAMID": "1"},
 }
@@ -926,7 +926,7 @@ _CORE = ["sampler", "noise", "anchor", "proxy_euler", "proxy_config3",
 # blowup from the ~795s SDXL pair compile predicts 4770-7950s — beyond
 # any per-metric ceiling, and a guaranteed mid-compile kill risks wedging
 # the tunnel (ADVICE r3).
-_EXTRAS = ["proxy_config4_matmul", "proxy_overhead_ab",
+_EXTRAS = ["proxy_config4_fft", "proxy_overhead_ab",
            "dit_sampler", "voronoi", "voronoi_anchor", "sampler_b8",
            "power", "noise_bulk",
            "fused_old_ab", "fused_highres_ab", "fused_ab", "noise_fused",
@@ -944,7 +944,7 @@ _MIN_LAUNCH = {"sdxl_euler": 700, "sdxl_config3": 700, "sdxl_config4": 800,
                "sdxl_euler_batched": 2400, "sdxl_euler_bf16": 500,
                "sdxl_euler_fast": 2400,
                "proxy_euler": 300, "proxy_config3": 300,
-               "proxy_config4": 350, "proxy_config4_matmul": 350,
+               "proxy_config4": 350, "proxy_config4_fft": 350,
                "proxy_overhead_ab": 400, "video_noise": 100,
                "proxy_euler_batched": 1400, "proxy_euler_bf16": 200,
                "proxy_euler_fast": 1400, "proxy_config3_fast": 1400}

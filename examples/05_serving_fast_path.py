@@ -4,10 +4,13 @@ The three TPU-native levers this example composes:
 
 1. ``model_batched`` — ONE denoiser call per step on the doubled batch
    (rows [:B] conditional, [B:] unconditional). The compiled sampling
-   program contains a single UNet instance instead of two, which roughly
-   halves XLA compile time at production scale and feeds the MXU one
-   2B-batch matmul stream. Numerically identical to the
-   (model, model_uncond) pair (tests/test_api.py).
+   program contains a single UNet instance instead of two. Numerically
+   identical to the (model, model_uncond) pair (tests/test_api.py).
+   MEASURED CAVEAT (profiles/ANALYSIS.md §14): this wins ~12% per call
+   at small scale (per-program overhead amortized) but loses ~24% at
+   SDXL scale, where the doubled-batch 1280-channel convs tile worse
+   than two batch-1 calls — for big models prefer the plain pair with
+   bf16 (31.3 ms/call, 57.9% MFU on v5e).
 2. bf16 compute — ``UNetConfig(dtype=jnp.bfloat16)`` doubles MXU rate and
    halves HBM traffic for the model; the sampler carry and the sigma
    schedule stay float32 (SonarPipeline re-stabilizes the scan carry).

@@ -23,9 +23,13 @@ from ..noise.power import PowerFilter
 
 
 def _ffilter_mode() -> str:
-    """SONAR_TPU_FREEU_MATMUL: "0" (default) keeps the rfft2·gain·irfft2
-    composition; "1" collapses the whole spectral filter into ONE real
-    MXU matmul at HIGHEST precision; "fast" at DEFAULT precision.
+    """SONAR_TPU_FREEU_MATMUL: "1" (DEFAULT since round 4) collapses the
+    whole spectral filter into ONE real MXU matmul at HIGHEST precision —
+    numerically equal to the FFT composition (tests/test_cfg.py) and
+    measured +3.34% config-4-style overhead at SDXL scale vs the FFT
+    path's +5.89% (profiles/ANALYSIS.md §13). "0" keeps the explicit
+    rfft2·gain·irfft2 composition; "fast" runs the matmul at DEFAULT
+    precision (bf16 MXU inputs, +2.64%).
 
     Why a matmul: the config-4 decomposition (profiles/ANALYSIS.md §9)
     measured the filter floor at +5.1% and attributed it to data movement
@@ -37,7 +41,7 @@ def _ffilter_mode() -> str:
     y, zero intermediates, and the scale/blend epilogue fuses into the
     matmul. Gated to spatial ≤ 32×32 (K is (hw)² — 4 MB at 32², 64 MB at
     64² would bloat the program)."""
-    return os.environ.get("SONAR_TPU_FREEU_MATMUL", "0")
+    return os.environ.get("SONAR_TPU_FREEU_MATMUL", "1")
 
 
 _MATMUL_MAX_HW = 1024  # 32x32; K grows as (h*w)^2

@@ -415,7 +415,7 @@ class TestFFilterMatmul:
         pf = PowerFilter(alpha=0.4)
         x = jnp.asarray(
             np.random.default_rng(0).standard_normal(shape), jnp.float32)
-        monkeypatch.delenv("SONAR_TPU_FREEU_MATMUL", raising=False)
+        monkeypatch.setenv("SONAR_TPU_FREEU_MATMUL", "0")  # explicit FFT
         ref = jax.jit(lambda v: ffilter(v, pf, 0.25))(x)
         monkeypatch.setenv("SONAR_TPU_FREEU_MATMUL", mode)
         got = jax.jit(lambda v: ffilter(v, pf, 0.25))(x)
@@ -462,7 +462,7 @@ class TestFFilterMatmul:
             np.random.default_rng(1).standard_normal((1, 16, 16, 32)),
             jnp.float32)
         ctx = {"sigma": jnp.asarray([3.0])}
-        monkeypatch.delenv("SONAR_TPU_FREEU_MATMUL", raising=False)
+        monkeypatch.setenv("SONAR_TPU_FREEU_MATMUL", "0")
         ref = jax.jit(lambda v: patches["input"][0](v, ctx))(x)
         monkeypatch.setenv("SONAR_TPU_FREEU_MATMUL", "1")
         got = jax.jit(lambda v: patches["input"][0](v, ctx))(x)
