@@ -789,7 +789,7 @@ _SINGLE = {
     "proxy_config3_fast": bench_proxy_config3_fast_per_call_ms,
     "proxy_config4": bench_proxy_config4_per_call_ms,
     "proxy_overhead_ab": bench_proxy_overhead_ab,
-    "proxy_config4_matmul": bench_proxy_config4_per_call_ms,
+    "proxy_config4_fft": bench_proxy_config4_per_call_ms,
     "sdxl_config4": bench_sdxl_config4_per_call_ms,
     "video_noise": bench_video_noise_mpix,
 }
