@@ -1119,13 +1119,15 @@ def _emit(r, timings):
             "config4_overhead_proxy_pct": _rnd(
                 None if r.get("proxy_config4") is None or peul is None
                 else (r["proxy_config4"] - peul) / peul * 100.0, 2),
-            "proxy_config4_matmul_per_call_ms":
-                _rnd(r.get("proxy_config4_matmul")),
+            # pre-round-4 FFT filter path, for the matmul-vs-FFT A/B
+            # (the default config4 metrics run the matmul operator)
+            "proxy_config4_fft_per_call_ms":
+                _rnd(r.get("proxy_config4_fft")),
+            "config4_fft_overhead_proxy_pct": _rnd(
+                None if r.get("proxy_config4_fft") is None or peul is None
+                else (r["proxy_config4_fft"] - peul) / peul * 100.0, 2),
             "config3_overhead_proxy_ab_pct":
                 _rnd(r.get("proxy_overhead_ab"), 2),
-            "config4_matmul_overhead_proxy_pct": _rnd(
-                None if r.get("proxy_config4_matmul") is None or peul is None
-                else (r["proxy_config4_matmul"] - peul) / peul * 100.0, 2),
             "sdxl_config4_per_call_ms": _rnd(r.get("sdxl_config4")),
             "config4_overhead_pct": _rnd(
                 None if r.get("sdxl_config4") is None or eul is None
