@@ -498,3 +498,16 @@ def test_gpu_alias_names_registered():
     assert K["dpmpp_sde_gpu"] is K["dpmpp_sde"]
     assert K["dpmpp_2m_sde_gpu"] is K["dpmpp_2m_sde"]
     assert K["dpmpp_3m_sde_gpu"] is K["dpmpp_3m_sde"]
+
+
+def test_restart_wraps_kdiffusion_inner_samplers(x0):
+    """KRestartSamplerCustomNoise can wrap ANY registered sampler in the
+    reference; the native restart must compose with the k-diffusion set."""
+    from sonar_tpu.samplers import sample_restart
+
+    sigmas = np.concatenate(
+        [np.geomspace(14.6, 0.03, 10), [0.0]]).astype(np.float32)
+    for inner in (sample_dpmpp_2m, sample_dpmpp_2s_ancestral):
+        out = np.asarray(sample_restart(jx_model, jnp.asarray(x0),
+                                        sigmas, inner_sampler=inner, seed=5))
+        assert out.shape == x0.shape and np.isfinite(out).all()
