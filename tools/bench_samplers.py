@@ -32,17 +32,24 @@ def main():
     sigmas = jnp.concatenate([sigmas, jnp.zeros((1,))]).astype(jnp.float32)
     x = jax.random.normal(jax.random.key(1), SHAPE) * float(sigmas[0])
 
+    # model calls per step (heun/dpmpp_2s/dpmpp_sde are 2-stage; the
+    # multistep 2m/2m_sde/3m_sde and everything else are single-call)
+    CALLS = {"heun": 2, "dpmpp_2s_ancestral": 2, "dpmpp_sde": 2,
+             "sonar_dpmpp_sde": 2, "restart": 1}
+    seen = set()
     print(f"backend={jax.default_backend()} shape={SHAPE} steps={STEPS}")
     for name in sorted(SAMPLERS):
         sampler = SAMPLERS[name]
+        if id(sampler) in seen:  # _gpu aliases point at the same fn
+            continue
+        seen.add(id(sampler))
         run = jax.jit(lambda v, s=sampler: s(model, v, sigmas, seed=7))
         try:
             dt = _timeit(run, x, warmup=1, iters=5)
         except Exception as e:  # pragma: no cover
             print(f"{name:>22}: FAILED {str(e)[:120]}", flush=True)
             continue
-        # dpmpp_sde runs 2 model calls per step
-        calls = 2 if "dpmpp" in name else 1
+        calls = CALLS.get(name, 1)
         print(f"{name:>22}: {STEPS / dt:8.1f} steps/s  "
               f"{dt / STEPS * 1e3:6.3f} ms/step  ({calls} model call/step)",
               flush=True)
