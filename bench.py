@@ -935,19 +935,22 @@ _EXTRAS = ["proxy_config4_fft", "proxy_overhead_ab",
            "proxy_euler_fast", "proxy_config3_fast", "proxy_euler_batched"]
 _SDXL_BATCHED_EXTRAS = ["sdxl_euler_fast", "sdxl_euler_batched"]
 
-# minimum plausible runtime — don't even launch a metric with less budget
-# (the SDXL metrics measured 795-900s wall each, dominated by the
-# uncacheable remote compile; the proxy batched compiles hit a 700s
-# timeout twice, so their true floor is unknown — gate them near their
-# ceiling so a launch has a realistic chance of finishing, ADVICE r3)
+# minimum plausible runtime — don't even launch a metric with less budget.
+# HISTORY: pre-outage the SDXL metrics measured 795-900s wall each
+# (uncacheable remote compile) and the proxy batched compiles hit a 700s
+# timeout twice (ADVICE r3 gated them near their ceiling). POST-outage
+# (2026-08-19) the relay compiles fast: SDXL pair 178-441s wall, proxy
+# batched/fast measured 117-300s wall end-to-end — the gates below keep
+# a 2x-3x margin over the NEW measurements so the serving extras can
+# actually land in a driver run, while staying far above their floors.
 _MIN_LAUNCH = {"sdxl_euler": 700, "sdxl_config3": 700, "sdxl_config4": 800,
                "sdxl_euler_batched": 2400, "sdxl_euler_bf16": 500,
                "sdxl_euler_fast": 2400,
                "proxy_euler": 300, "proxy_config3": 300,
                "proxy_config4": 350, "proxy_config4_fft": 350,
                "proxy_overhead_ab": 400, "video_noise": 100,
-               "proxy_euler_batched": 1400, "proxy_euler_bf16": 200,
-               "proxy_euler_fast": 1400, "proxy_config3_fast": 1400}
+               "proxy_euler_batched": 600, "proxy_euler_bf16": 200,
+               "proxy_euler_fast": 600, "proxy_config3_fast": 600}
 
 
 def _run_one(name: str, timeout: float):
