@@ -926,12 +926,15 @@ _CORE = ["sampler", "noise", "anchor", "proxy_euler", "proxy_config3",
 # blowup from the ~795s SDXL pair compile predicts 4770-7950s — beyond
 # any per-metric ceiling, and a guaranteed mid-compile kill risks wedging
 # the tunnel (ADVICE r3).
-_EXTRAS = ["proxy_config4_fft", "proxy_overhead_ab",
+# proxy_overhead_ab runs LATE among the extras: its interleaved slope
+# sampling costs ~600s+ on a slow tunnel phase and failed to parse once
+# (2026-08-19 19:12 run) — it must not starve the cheap extras
+_EXTRAS = ["proxy_config4_fft",
            "dit_sampler", "voronoi", "voronoi_anchor", "sampler_b8",
            "power", "noise_bulk",
            "fused_old_ab", "fused_highres_ab", "fused_ab", "noise_fused",
            "noise_bulk_fused", "hw_ab", "noise_hw",
-           "sdxl_euler_bf16", "sdxl_config4",
+           "proxy_overhead_ab", "sdxl_euler_bf16", "sdxl_config4",
            "proxy_euler_fast", "proxy_config3_fast", "proxy_euler_batched"]
 _SDXL_BATCHED_EXTRAS = ["sdxl_euler_fast", "sdxl_euler_batched"]
 
