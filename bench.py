@@ -753,6 +753,14 @@ def bench_tpu_probe() -> float:
     instead of burning the whole budget on children blocked in claim."""
     import os
 
+    if os.environ.get("SONAR_BENCH_FORCE_PROBE_FAIL"):
+        # test hook: the routing ("failed probe -> CPU-anchor plan") is
+        # bench's own logic and must be testable without a dead tunnel.
+        # Simulating an outage via a bogus PALLAS_AXON_POOL_IPS stopped
+        # working post-outage-repair: sitecustomize ignores the VALUE and
+        # always dials the local relay (AXON_POOL_SVC_OVERRIDE=127.0.0.1),
+        # so the fake-IP test flipped with the real tunnel's health.
+        raise RuntimeError("probe failure forced (SONAR_BENCH_FORCE_PROBE_FAIL)")
     backend = jax.default_backend()
     if os.environ.get("PALLAS_AXON_POOL_IPS") and backend not in (
             "tpu", "axon"):

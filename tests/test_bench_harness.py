@@ -173,10 +173,15 @@ def test_sdxl_metric_functions_execute_at_tiny_scale():
 
 
 def test_probe_failure_falls_back_to_cpu_anchors():
-    """Dead tunnel + room in the budget: the pre-flight probe must fail
-    fast and route the run to the torch-CPU anchor metrics, so the JSON
-    carries real numbers (not all-nulls) within ~one probe window
-    (2026-08-17..19 outage: every TPU child blocks in claim forever)."""
+    """Failed probe + room in the budget: the run must route to the
+    torch-CPU anchor metrics so the JSON carries real numbers (not
+    all-nulls). The failure is forced via the explicit test hook: a
+    bogus PALLAS_AXON_POOL_IPS no longer simulates an outage because
+    sitecustomize ignores the value and always dials the local relay —
+    the old fake-IP version of this test flipped with the REAL tunnel's
+    health (passed during the 2026-08-19 outage, failed after repair).
+    The genuine dead-tunnel behavior (probe child blocks in claim until
+    its timeout) was observed live twice this round (ANALYSIS §12)."""
     import os
 
     r = subprocess.run(
@@ -184,7 +189,7 @@ def test_probe_failure_falls_back_to_cpu_anchors():
         text=True, timeout=170, cwd=_REPO,
         env={**os.environ, "SONAR_BENCH_BUDGET_S": "150",
              "SONAR_BENCH_PROBE_S": "8",
-             "PALLAS_AXON_POOL_IPS": "10.255.255.1"})
+             "SONAR_BENCH_FORCE_PROBE_FAIL": "1"})
     assert r.returncode == 0, r.stderr[-500:]
     lines = [l for l in r.stdout.splitlines() if l.startswith("{")]
     payload = json.loads(lines[-1])
