@@ -31,6 +31,7 @@ from typing import Callable
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..noise.base import NoiseItem
 from .ancestral import get_ancestral_step, to_d
@@ -74,6 +75,41 @@ def _churn(sigmas, i, s_churn, s_tmin, s_tmax, n_steps):
     return jnp.where(in_window, gamma, 0.0)
 
 
+def _churn_window(sigmas, s_churn, s_tmin, s_tmax):
+    """Static churn-window analysis (ADVICE r4). Returns ``(need_noise,
+    gate_draw)``: need_noise is False when churn is statically inert (no
+    step sigma lands in ``[s_tmin, s_tmax]``, so the program carries no
+    RNG); gate_draw asks the step body to put the draw behind
+    ``lax.cond`` so out-of-window steps neither draw nor advance the
+    noise stream — the reference only calls noise_sampler when
+    ``gamma > 0`` (k-diffusion sample_euler), so stateful streams
+    (brownian, recorded) must see identical draw sequences."""
+    if not s_churn > 0:
+        return False, False
+    if s_tmin <= 0.0 and s_tmax == float("inf"):
+        return True, False  # every step in-window: plain unconditional draw
+    if isinstance(sigmas, jax.core.Tracer):
+        return True, True  # traced table: gate each step at runtime
+    vals = np.asarray(sigmas)[:-1]
+    mask = (vals >= s_tmin) & (vals <= s_tmax)
+    if not mask.any():
+        return False, False
+    return True, not bool(mask.all())
+
+
+def _gated_draw(noise_fn, nstate, i, sigma, sigma_next, s_tmin, s_tmax,
+                like):
+    """Draw noise only inside the churn window (stream-parity with the
+    reference's ``if gamma > 0`` guard); the skip branch leaves the
+    stream state untouched."""
+    in_window = (sigma >= s_tmin) & (sigma <= s_tmax)
+    return jax.lax.cond(
+        in_window,
+        lambda ns: noise_fn(ns, i, sigma, sigma_next),
+        lambda ns: (jnp.zeros_like(like), ns),
+        nstate)
+
+
 def sample_euler(
     model: Callable,
     x: jax.Array,
@@ -95,11 +131,13 @@ def sample_euler(
     return_state: bool = False,
 ) -> jax.Array:
     """k-diffusion ``sample_euler``: deterministic Euler with optional
-    Karras churn. Noise is drawn only when ``s_churn > 0`` (a static
-    Python float — the no-churn program contains no RNG at all)."""
+    Karras churn. Noise is drawn only when ``s_churn > 0`` AND the step's
+    sigma lies in the ``[s_tmin, s_tmax]`` window (stream-parity with the
+    reference's ``if gamma > 0`` guard; a statically-inert window compiles
+    a program with no RNG at all)."""
     sigmas = jnp.asarray(sigmas)
     n_steps = sigmas.shape[0] - 1
-    need_noise = s_churn > 0
+    need_noise, gate_draw = _churn_window(sigmas, s_churn, s_tmin, s_tmax)
     model_fn, noise_fn, noise_state = _kd_setup(
         model, x, sigmas, default_noise_type="gaussian",
         noise_item=noise_item, noise_sampler=noise_sampler, seed=seed,
@@ -111,7 +149,11 @@ def sample_euler(
         if need_noise:
             gamma = _churn(sigmas, i, s_churn, s_tmin, s_tmax, n_steps)
             sigma_hat = sigma * (gamma + 1.0)
-            noise, nstate = noise_fn(nstate, i, sigma, sigma_next)
+            if gate_draw:
+                noise, nstate = _gated_draw(noise_fn, nstate, i, sigma,
+                                            sigma_next, s_tmin, s_tmax, xc)
+            else:
+                noise, nstate = noise_fn(nstate, i, sigma, sigma_next)
             bump = jnp.sqrt(jnp.maximum(sigma_hat**2 - sigma**2, 0.0))
             xc = xc + noise * (s_noise * bump)
         else:
@@ -200,7 +242,7 @@ def sample_heun(
     ``lax.cond``)."""
     sigmas = jnp.asarray(sigmas)
     n_steps = sigmas.shape[0] - 1
-    need_noise = s_churn > 0
+    need_noise, gate_draw = _churn_window(sigmas, s_churn, s_tmin, s_tmax)
     model_fn, noise_fn, noise_state = _kd_setup(
         model, x, sigmas, default_noise_type="gaussian",
         noise_item=noise_item, noise_sampler=noise_sampler, seed=seed,
@@ -212,7 +254,11 @@ def sample_heun(
         if need_noise:
             gamma = _churn(sigmas, i, s_churn, s_tmin, s_tmax, n_steps)
             sigma_hat = sigma * (gamma + 1.0)
-            noise, nstate = noise_fn(nstate, i, sigma, sigma_next)
+            if gate_draw:
+                noise, nstate = _gated_draw(noise_fn, nstate, i, sigma,
+                                            sigma_next, s_tmin, s_tmax, xc)
+            else:
+                noise, nstate = noise_fn(nstate, i, sigma, sigma_next)
             bump = jnp.sqrt(jnp.maximum(sigma_hat**2 - sigma**2, 0.0))
             xc = xc + noise * (s_noise * bump)
         else:

@@ -511,3 +511,59 @@ def test_restart_wraps_kdiffusion_inner_samplers(x0):
         out = np.asarray(sample_restart(jx_model, jnp.asarray(x0),
                                         sigmas, inner_sampler=inner, seed=5))
         assert out.shape == x0.shape and np.isfinite(out).all()
+
+
+def test_euler_windowed_churn_stateful_stream_parity(x0):
+    """ADVICE r4: with a windowed churn and a STATEFUL noise item,
+    out-of-window steps must neither draw nor advance the stream — the
+    reference only calls noise_sampler when gamma > 0. Reproduce the
+    item's sequential draws (one per in-window step) and check the
+    trajectory against the numpy oracle."""
+    from sonar_tpu.core.rng import derive_key, key_from_seed
+    from sonar_tpu.noise.base import make_noise_sampler
+    from sonar_tpu.noise.presets import get_noise_item
+
+    sigmas = karras()
+    s_tmin, s_tmax = 0.5, 5.0
+    in_win = [(s_tmin <= float(s) <= s_tmax) for s in sigmas[:-1]]
+    assert any(in_win) and not all(in_win)  # genuinely mixed window
+    seed = 1234
+    got = _run(sample_euler, x0, sigmas, s_churn=0.7, s_tmin=s_tmin,
+               s_tmax=s_tmax, seed=seed)
+    # replicate _setup's seed derivation and draw ONLY on in-window steps
+    key = key_from_seed(seed)
+    pos = sigmas[sigmas > 0]
+    fn, st = make_noise_sampler(
+        get_noise_item("gaussian"), x0.shape, dtype=jnp.float32,
+        sigma_min=float(pos.min()), sigma_max=float(sigmas.max()),
+        seed=derive_key(key, "noise"), normalized=True,
+        ref_latent=jnp.asarray(x0))
+    noise = np.zeros((len(sigmas) - 1,) + x0.shape, np.float32)
+    for i, w in enumerate(in_win):
+        if w:
+            n, st = fn(st, jnp.asarray(float(sigmas[i])),
+                       jnp.asarray(float(sigmas[i + 1])))
+            noise[i] = np.asarray(n)
+    want = np_euler(x0, sigmas, noise, s_churn=0.7, s_tmin=s_tmin,
+                    s_tmax=s_tmax)
+    _close(got, want)
+
+
+def test_euler_inert_churn_window_matches_no_churn(x0):
+    """A churn window no step's sigma can reach must compile to the
+    no-RNG program (statically inert — ADVICE r4)."""
+    sigmas = karras()
+    plain = _run(sample_euler, x0, sigmas)
+    inert = _run(sample_euler, x0, sigmas, s_churn=0.7, s_tmin=100.0,
+                 s_tmax=200.0, seed=7)
+    np.testing.assert_array_equal(plain, inert)
+
+
+def test_heun_windowed_churn_oracle_matches(x0):
+    """heun with a mixed window + indexed stream still matches the numpy
+    oracle after the gated-draw change."""
+    sigmas = karras()
+    stream = make_stream(N_STEPS, seed=31)
+    _close(_run(sample_heun, x0, sigmas, stream, s_churn=0.5, s_tmin=0.5,
+                s_tmax=5.0),
+           np_heun(x0, sigmas, stream, s_churn=0.5, s_tmin=0.5, s_tmax=5.0))

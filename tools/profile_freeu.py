@@ -74,6 +74,11 @@ def run_variant(name: str) -> float:
         os.environ["SONAR_TPU_FREEU_MATMUL"] = "1"
     elif name == "E":
         os.environ["SONAR_TPU_FREEU_MATMUL"] = "fast"
+    else:
+        # B/C measure the FFT filter path; the matmul operator is the
+        # DEFAULT since round 4, so pin it OFF or C silently duplicates D
+        # and fft_pct mislabels the matmul cost (ADVICE r4).
+        os.environ["SONAR_TPU_FREEU_MATMUL"] = "0"
     pipe, params, x0, sigmas = _freeu_pipeline(with_filter=(name != "B"))
     return _time_pipeline(pipe, params, x0, sigmas, stages=1)
 
