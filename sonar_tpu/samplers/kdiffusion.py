@@ -42,13 +42,19 @@ __all__ = [
     "sample_euler",
     "sample_euler_ancestral",
     "sample_heun",
+    "sample_heunpp2",
+    "sample_dpm_2",
+    "sample_dpm_2_ancestral",
     "sample_dpmpp_2m",
     "sample_dpmpp_2s_ancestral",
     "sample_dpmpp_sde",
     "sample_dpmpp_2m_sde",
     "sample_dpmpp_3m_sde",
     "sample_ddim",
+    "sample_ddpm",
     "sample_lcm",
+    "sample_res_multistep",
+    "sample_res_multistep_ancestral",
     "KDIFFUSION_SAMPLERS",
 ]
 
@@ -676,10 +682,362 @@ def sample_dpmpp_sde(
         return_state=return_state)
 
 
+def sample_dpm_2(
+    model: Callable,
+    x: jax.Array,
+    sigmas: jax.Array,
+    *,
+    s_churn: float = 0.0,
+    s_tmin: float = 0.0,
+    s_tmax: float = float("inf"),
+    s_noise: float = 1.0,
+    noise_item: NoiseItem | None = None,
+    noise_sampler: Callable | None = None,
+    seed: int | None = None,
+    extra_args: dict | None = None,
+    callback=None,
+    method: str = "scan",
+    resume_from=None,
+    start_step: int = 0,
+    stop_step: int | None = None,
+    return_state: bool = False,
+) -> jax.Array:
+    """k-diffusion ``sample_dpm_2`` (Karras DPM2): explicit midpoint in
+    log-sigma space with optional churn. The midpoint model call always
+    executes; at ``sigma_next == 0`` the Euler step is select-chosen
+    (one redundant tail call instead of a second UNet clone)."""
+    sigmas = jnp.asarray(sigmas)
+    n_steps = sigmas.shape[0] - 1
+    need_noise, gate_draw = _churn_window(sigmas, s_churn, s_tmin, s_tmax)
+    model_fn, noise_fn, noise_state = _kd_setup(
+        model, x, sigmas, default_noise_type="gaussian",
+        noise_item=noise_item, noise_sampler=noise_sampler, seed=seed,
+        extra_args=extra_args, need_noise=need_noise)
+
+    def step_fn(carry, i):
+        xc, aux, nstate = carry
+        sigma, sigma_next = sigmas[i], sigmas[i + 1]
+        if need_noise:
+            gamma = _churn(sigmas, i, s_churn, s_tmin, s_tmax, n_steps)
+            sigma_hat = sigma * (gamma + 1.0)
+            if gate_draw:
+                noise, nstate = _gated_draw(noise_fn, nstate, i, sigma,
+                                            sigma_next, s_tmin, s_tmax, xc)
+            else:
+                noise, nstate = noise_fn(nstate, i, sigma, sigma_next)
+            bump = jnp.sqrt(jnp.maximum(sigma_hat**2 - sigma**2, 0.0))
+            xc = xc + noise * (s_noise * bump)
+        else:
+            sigma_hat = sigma
+        denoised = model_fn(xc, sigma_hat)
+        d = to_d(xc, sigma_hat, denoised)
+        euler_x = xc + d * (sigma_next - sigma_hat)
+        # geometric midpoint: sigma_hat.log().lerp(sigma_next.log(), 0.5)
+        sn_safe = jnp.maximum(sigma_next, _EPS)
+        sigma_mid = jnp.exp(0.5 * (jnp.log(sigma_hat) + jnp.log(sn_safe)))
+        x_2 = xc + d * (sigma_mid - sigma_hat)
+        denoised_2 = model_fn(x_2, sigma_mid)
+        d_2 = to_d(x_2, sigma_mid, denoised_2)
+        dpm_x = xc + d_2 * (sigma_next - sigma_hat)
+        out = jnp.where(sigma_next > 0, dpm_x, euler_x)
+        return (out, aux, nstate), {"x": out, "sigma": sigma,
+                                    "sigma_hat": sigma_hat,
+                                    "denoised": denoised}
+
+    return _run_loop(step_fn, x, n_steps, (), noise_state,
+                     callback=callback, method=method,
+                     resume_from=resume_from, start_step=start_step,
+                     stop_step=stop_step, return_state=return_state)
+
+
+def sample_dpm_2_ancestral(
+    model: Callable,
+    x: jax.Array,
+    sigmas: jax.Array,
+    *,
+    eta: float = 1.0,
+    s_noise: float = 1.0,
+    noise_item: NoiseItem | None = None,
+    noise_sampler: Callable | None = None,
+    seed: int | None = None,
+    extra_args: dict | None = None,
+    callback=None,
+    method: str = "scan",
+    resume_from=None,
+    start_step: int = 0,
+    stop_step: int | None = None,
+    return_state: bool = False,
+) -> jax.Array:
+    """k-diffusion ``sample_dpm_2_ancestral``: DPM2 midpoint toward the
+    ancestral ``sigma_down``, then ``sigma_up`` of noise. The reference
+    draws noise only inside the solver branch (``sigma_down != 0``) —
+    with ``eta > 1`` that can skip draws mid-trajectory, so the draw is
+    ``lax.cond``-gated on ``sigma_down > 0`` for stream parity."""
+    sigmas = jnp.asarray(sigmas)
+    model_fn, noise_fn, noise_state = _kd_setup(
+        model, x, sigmas, default_noise_type="gaussian",
+        noise_item=noise_item, noise_sampler=noise_sampler, seed=seed,
+        extra_args=extra_args, need_noise=True)
+
+    def step_fn(carry, i):
+        xc, aux, nstate = carry
+        sigma, sigma_next = sigmas[i], sigmas[i + 1]
+        sigma_down, sigma_up = get_ancestral_step(sigma, sigma_next, eta=eta)
+        denoised = model_fn(xc, sigma)
+        d = to_d(xc, sigma, denoised)
+        euler_x = xc + d * (sigma_down - sigma)
+        sd_safe = jnp.maximum(sigma_down, _EPS)
+        sigma_mid = jnp.exp(0.5 * (jnp.log(sigma) + jnp.log(sd_safe)))
+        x_2 = xc + d * (sigma_mid - sigma)
+        denoised_2 = model_fn(x_2, sigma_mid)
+        d_2 = to_d(x_2, sigma_mid, denoised_2)
+        dpm_x = xc + d_2 * (sigma_down - sigma)
+        noise, nstate = jax.lax.cond(
+            sigma_down > 0,
+            lambda ns: noise_fn(ns, i, sigma, sigma_next),
+            lambda ns: (jnp.zeros_like(xc), ns),
+            nstate)
+        out = jnp.where(sigma_down > 0,
+                        dpm_x + noise * (s_noise * sigma_up), euler_x)
+        return (out, aux, nstate), {"x": out, "sigma": sigma,
+                                    "sigma_hat": sigma, "denoised": denoised}
+
+    return _run_loop(step_fn, x, sigmas.shape[0] - 1, (), noise_state,
+                     callback=callback, method=method,
+                     resume_from=resume_from, start_step=start_step,
+                     stop_step=stop_step, return_state=return_state)
+
+
+def sample_heunpp2(
+    model: Callable,
+    x: jax.Array,
+    sigmas: jax.Array,
+    *,
+    s_churn: float = 0.0,
+    s_tmin: float = 0.0,
+    s_tmax: float = float("inf"),
+    s_noise: float = 1.0,
+    noise_item: NoiseItem | None = None,
+    noise_sampler: Callable | None = None,
+    seed: int | None = None,
+    extra_args: dict | None = None,
+    callback=None,
+    method: str = "scan",
+    resume_from=None,
+    start_step: int = 0,
+    stop_step: int | None = None,
+    return_state: bool = False,
+) -> jax.Array:
+    """ComfyUI ``sample_heunpp2`` (Heun++, from the MIT-licensed
+    sd-webui-samplers-scheduler): three-stage weighted correction with
+    per-stage weights ``sigma / (k * sigmas[0])``. The second/third model
+    calls always execute (select-discarded on the trailing branches)."""
+    sigmas = jnp.asarray(sigmas)
+    n_steps = sigmas.shape[0] - 1
+    need_noise, gate_draw = _churn_window(sigmas, s_churn, s_tmin, s_tmax)
+    model_fn, noise_fn, noise_state = _kd_setup(
+        model, x, sigmas, default_noise_type="gaussian",
+        noise_item=noise_item, noise_sampler=noise_sampler, seed=seed,
+        extra_args=extra_args, need_noise=need_noise)
+    s_end = sigmas[-1]
+
+    def step_fn(carry, i):
+        xc, aux, nstate = carry
+        sigma, sigma_next = sigmas[i], sigmas[i + 1]
+        sigma_nn = sigmas[jnp.minimum(i + 2, n_steps)]
+        if need_noise:
+            gamma = _churn(sigmas, i, s_churn, s_tmin, s_tmax, n_steps)
+            sigma_hat = sigma * (gamma + 1.0)
+            if gate_draw:
+                noise, nstate = _gated_draw(noise_fn, nstate, i, sigma,
+                                            sigma_next, s_tmin, s_tmax, xc)
+            else:
+                noise, nstate = noise_fn(nstate, i, sigma, sigma_next)
+            bump = jnp.sqrt(jnp.maximum(sigma_hat**2 - sigma**2, 0.0))
+            xc = xc + noise * (s_noise * bump)
+        else:
+            sigma_hat = sigma
+        denoised = model_fn(xc, sigma_hat)
+        d = to_d(xc, sigma_hat, denoised)
+        dt = sigma_next - sigma_hat
+        # stage 2 at sigma_next (safe-floored for the tail call)
+        sn_safe = jnp.maximum(sigma_next, _EPS)
+        x_2 = xc + d * dt
+        denoised_2 = model_fn(x_2, sn_safe)
+        d_2 = to_d(x_2, sn_safe, denoised_2)
+        # stage 3 at sigma_nn
+        snn_safe = jnp.maximum(sigma_nn, _EPS)
+        x_3 = x_2 + d_2 * (sigma_nn - sigma_next)
+        denoised_3 = model_fn(x_3, snn_safe)
+        d_3 = to_d(x_3, snn_safe, denoised_3)
+        # Euler branch (sigma_next == s_end)
+        euler_x = xc + d * dt
+        # Heun branch (sigma_nn == s_end): weights (1 - w2, w2)
+        w2_h = sigma_next / (2.0 * sigmas[0])
+        heun_x = xc + (d * (1.0 - w2_h) + d_2 * w2_h) * dt
+        # Heun++ branch: weights (1 - w2 - w3, w2, w3)
+        w2 = sigma_next / (3.0 * sigmas[0])
+        w3 = sigma_nn / (3.0 * sigmas[0])
+        hpp_x = xc + (d * (1.0 - w2 - w3) + d_2 * w2 + d_3 * w3) * dt
+        out = jnp.where(sigma_next == s_end, euler_x,
+                        jnp.where(sigma_nn == s_end, heun_x, hpp_x))
+        return (out, aux, nstate), {"x": out, "sigma": sigma,
+                                    "sigma_hat": sigma_hat,
+                                    "denoised": denoised}
+
+    return _run_loop(step_fn, x, n_steps, (), noise_state,
+                     callback=callback, method=method,
+                     resume_from=resume_from, start_step=start_step,
+                     stop_step=stop_step, return_state=return_state)
+
+
+def _res_multistep(
+    model: Callable,
+    x: jax.Array,
+    sigmas: jax.Array,
+    *,
+    eta: float = 1.0,
+    s_noise: float = 1.0,
+    noise_item: NoiseItem | None = None,
+    noise_sampler: Callable | None = None,
+    seed: int | None = None,
+    extra_args: dict | None = None,
+    callback=None,
+    method: str = "scan",
+    resume_from=None,
+    start_step: int = 0,
+    stop_step: int | None = None,
+    return_state: bool = False,
+) -> jax.Array:
+    """ComfyUI ``res_multistep`` (second-order exponential multistep from
+    arXiv:2308.02157, RES): ``x <- exp(-h) x + h (b1 denoised + b2
+    old_denoised)`` with ``b1 = phi1 - phi2/c2``, ``b2 = phi2/c2``,
+    ``c2 = (t_old - t)/h``; Euler on the first step and when
+    ``sigma_down == 0``. ``eta=0`` is the deterministic ``res_multistep``;
+    ``eta>0`` the ancestral variant."""
+    sigmas = jnp.asarray(sigmas)
+    need_noise = eta > 0
+    model_fn, noise_fn, noise_state = _kd_setup(
+        model, x, sigmas, default_noise_type="gaussian",
+        noise_item=noise_item, noise_sampler=noise_sampler, seed=seed,
+        extra_args=extra_args, need_noise=need_noise)
+
+    def step_fn(carry, i):
+        xc, aux, nstate = carry
+        old_denoised, has_old = aux
+        sigma, sigma_next = sigmas[i], sigmas[i + 1]
+        if need_noise:
+            sigma_down, sigma_up = get_ancestral_step(sigma, sigma_next,
+                                                      eta=eta)
+        else:
+            sigma_down = sigma_next
+        denoised = model_fn(xc, sigma)
+        # Euler branch
+        d = to_d(xc, sigma, denoised)
+        euler_x = xc + d * (sigma_down - sigma)
+        # RES second-order multistep branch
+        sd_safe = jnp.maximum(sigma_down, _EPS)
+        t = -jnp.log(sigma)
+        t_old = -jnp.log(sigmas[jnp.maximum(i - 1, 0)])
+        t_next = -jnp.log(sd_safe)
+        h = t_next - t
+        hs = jnp.where(h == 0, _EPS, h)
+        c2 = (t_old - t) / hs
+        c2s = jnp.where(c2 == 0, _EPS, c2)
+        phi1 = jnp.expm1(-h) / jnp.where(h == 0, _EPS, -h)
+        phi2 = (phi1 - 1.0) / jnp.where(h == 0, _EPS, -h)
+        b1 = phi1 - phi2 / c2s
+        b2 = phi2 / c2s
+        res_x = jnp.exp(-h) * xc + h * (b1 * denoised + b2 * old_denoised)
+        use_ms = has_old & (sigma_down > 0) & (i > 0)
+        out = jnp.where(use_ms, res_x, euler_x)
+        if need_noise:
+            noise, nstate = noise_fn(nstate, i, sigma, sigma_next)
+            out = jnp.where(sigma_next > 0,
+                            out + noise * (s_noise * sigma_up), out)
+        return (out, (denoised, jnp.ones((), bool)), nstate), {
+            "x": out, "sigma": sigma, "sigma_hat": sigma,
+            "denoised": denoised}
+
+    aux0 = (jnp.zeros_like(x), jnp.zeros((), bool))
+    return _run_loop(step_fn, x, sigmas.shape[0] - 1, aux0, noise_state,
+                     callback=callback, method=method,
+                     resume_from=resume_from, start_step=start_step,
+                     stop_step=stop_step, return_state=return_state)
+
+
+def sample_res_multistep(model, x, sigmas, **kw):
+    """ComfyUI ``sample_res_multistep`` (deterministic: eta=0)."""
+    kw.setdefault("eta", 0.0)
+    return _res_multistep(model, x, sigmas, **kw)
+
+
+def sample_res_multistep_ancestral(model, x, sigmas, **kw):
+    """ComfyUI ``sample_res_multistep_ancestral`` (eta=1 default)."""
+    kw.setdefault("eta", 1.0)
+    return _res_multistep(model, x, sigmas, **kw)
+
+
+def sample_ddpm(
+    model: Callable,
+    x: jax.Array,
+    sigmas: jax.Array,
+    *,
+    s_noise: float = 1.0,
+    noise_item: NoiseItem | None = None,
+    noise_sampler: Callable | None = None,
+    seed: int | None = None,
+    extra_args: dict | None = None,
+    callback=None,
+    method: str = "scan",
+    resume_from=None,
+    start_step: int = 0,
+    stop_step: int | None = None,
+    return_state: bool = False,
+) -> jax.Array:
+    """ComfyUI ``sample_ddpm`` (generic_step_sampler + DDPMSampler_step):
+    the classic ancestral DDPM posterior step in VP space, driven from
+    the EDM sigma schedule via ``alpha_cumprod = 1/(sigma^2 + 1)``."""
+    sigmas = jnp.asarray(sigmas)
+    model_fn, noise_fn, noise_state = _kd_setup(
+        model, x, sigmas, default_noise_type="gaussian",
+        noise_item=noise_item, noise_sampler=noise_sampler, seed=seed,
+        extra_args=extra_args, need_noise=True)
+
+    def step_fn(carry, i):
+        xc, aux, nstate = carry
+        sigma, sigma_next = sigmas[i], sigmas[i + 1]
+        denoised = model_fn(xc, sigma)
+        eps = (xc - denoised) / sigma
+        x_vp = xc / jnp.sqrt(1.0 + sigma**2)
+        ac = 1.0 / (sigma**2 + 1.0)
+        ac_prev = 1.0 / (sigma_next**2 + 1.0)
+        alpha = ac / ac_prev
+        mu = jnp.sqrt(1.0 / alpha) * (
+            x_vp - (1.0 - alpha) * eps / jnp.sqrt(1.0 - ac))
+        noise, nstate = noise_fn(nstate, i, sigma, sigma_next)
+        post_std = jnp.sqrt(jnp.maximum(
+            (1.0 - alpha) * (1.0 - ac_prev) / (1.0 - ac), 0.0))
+        mu = jnp.where(sigma_next > 0,
+                       mu + post_std * (s_noise * noise), mu)
+        out = jnp.where(sigma_next > 0,
+                        mu * jnp.sqrt(1.0 + sigma_next**2), mu)
+        return (out, aux, nstate), {"x": out, "sigma": sigma,
+                                    "sigma_hat": sigma, "denoised": denoised}
+
+    return _run_loop(step_fn, x, sigmas.shape[0] - 1, (), noise_state,
+                     callback=callback, method=method,
+                     resume_from=resume_from, start_step=start_step,
+                     stop_step=stop_step, return_state=return_state)
+
+
 KDIFFUSION_SAMPLERS = {
     "euler": sample_euler,
     "euler_ancestral": sample_euler_ancestral,
     "heun": sample_heun,
+    "heunpp2": sample_heunpp2,
+    "dpm_2": sample_dpm_2,
+    "dpm_2_ancestral": sample_dpm_2_ancestral,
     "dpmpp_2m": sample_dpmpp_2m,
     "dpmpp_2s_ancestral": sample_dpmpp_2s_ancestral,
     "dpmpp_sde": sample_dpmpp_sde,
@@ -689,5 +1047,17 @@ KDIFFUSION_SAMPLERS = {
     "dpmpp_3m_sde": sample_dpmpp_3m_sde,
     "dpmpp_3m_sde_gpu": sample_dpmpp_3m_sde,
     "ddim": sample_ddim,
+    "ddpm": sample_ddpm,
     "lcm": sample_lcm,
+    "res_multistep": sample_res_multistep,
+    "res_multistep_ancestral": sample_res_multistep_ancestral,
 }
+
+# the coefficient-table multistep family (deis/lms/ipndm/ipndm_v/uni_pc)
+# and the DPM-Solver fast/adaptive pair live in their own modules; they
+# register here so KSamplerSelect resolves every common ComfyUI name
+from .multistep import MULTISTEP_SAMPLERS  # noqa: E402
+from .dpm_solver import DPM_SOLVER_SAMPLERS  # noqa: E402
+
+KDIFFUSION_SAMPLERS.update(MULTISTEP_SAMPLERS)
+KDIFFUSION_SAMPLERS.update(DPM_SOLVER_SAMPLERS)
