@@ -160,9 +160,34 @@ _QSHIFT_ALIASES = {"qshift_a": "qshift_06", "qshift_c": "qshift_b",
                    "qshift_d": "qshift_b", "qshift_b_bp": "qshift_b"}
 
 
+# banks with NO published/derivable coefficient table in this
+# environment (the toolbox ships them as .mat data only; unlike
+# near_sym_b there is no transformation-of-variables construction to
+# exploit) — requesting one substitutes a published neighbour and MUST
+# be user-visible (VERDICT r4 item 9): a reference workflow naming
+# these banks gets numerically different (still perfect-reconstruction)
+# filters.
+_QSHIFT_SUBSTITUTED = {"qshift_a": "qshift_06 (10-tap, 6 nonzero)",
+                       "qshift_c": "qshift_b (14-tap)",
+                       "qshift_d": "qshift_b (14-tap)"}
+
+
+def _warn_substituted(name: str) -> None:
+    if name in _QSHIFT_SUBSTITUTED:
+        import warnings
+
+        warnings.warn(
+            f"Q-shift bank {name!r} has no published coefficient table in "
+            f"this environment — substituting {_QSHIFT_SUBSTITUTED[name]}. "
+            "Outputs stay perfect-reconstruction but differ numerically "
+            "from pytorch_wavelets' toolbox tables.",
+            UserWarning, stacklevel=3)
+
+
 def qshift_scaling(name: str) -> tuple[np.ndarray, bool]:
     """(tree-a scaling filter h, is_exact_published). ``h`` sums to √2 and
     has unit norm (to published-table precision)."""
+    _warn_substituted(name)
     resolved = _QSHIFT_ALIASES.get(name, name)
     if resolved == "qshift_06":
         return _QSHIFT_06, name == "qshift_06"

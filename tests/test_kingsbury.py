@@ -108,12 +108,30 @@ def test_qshift_published_checksums(name, length, nonzero):
 def test_qshift_aliases():
     # qshift_a's toolbox values are unpublished → published qshift_06;
     # 16/18-tap c/d → published 14-tap b (documented substitutions)
-    np.testing.assert_array_equal(K.qshift_scaling("qshift_a")[0],
-                                  K.qshift_scaling("qshift_06")[0])
-    assert not K.qshift_scaling("qshift_a")[1]
+    with pytest.warns(UserWarning, match="substituting"):
+        np.testing.assert_array_equal(K.qshift_scaling("qshift_a")[0],
+                                      K.qshift_scaling("qshift_06")[0])
+    with pytest.warns(UserWarning, match="qshift_a"):
+        assert not K.qshift_scaling("qshift_a")[1]
     for name in ("qshift_c", "qshift_d"):
-        np.testing.assert_array_equal(K.qshift_scaling(name)[0],
-                                      K.qshift_scaling("qshift_b")[0])
+        with pytest.warns(UserWarning, match="no published coefficient"):
+            np.testing.assert_array_equal(K.qshift_scaling(name)[0],
+                                          K.qshift_scaling("qshift_b")[0])
+
+
+def test_qshift_substitution_warning_is_user_visible():
+    """VERDICT r4 item 9: a workflow naming a substituted bank must warn
+    loudly; exact/derived banks (qshift_06/qshift_b and the documented
+    _bp base-bank mapping) stay silent."""
+    import warnings
+
+    with pytest.warns(UserWarning, match="qshift_d.*substituting"):
+        K.qshift_tree_banks.__wrapped__("qshift_d")
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        K.qshift_scaling("qshift_06")
+        K.qshift_scaling("qshift_b")
+        K.qshift_scaling("qshift_b_bp")  # documented base-bank mapping
 
 
 @pytest.mark.parametrize("biort", ["legall", "near_sym_a", "antonini"])

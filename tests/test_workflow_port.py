@@ -204,47 +204,53 @@ def test_corpus_noise_trees_draw():
     assert drawn >= 30  # half the corpus' 70 noise-bearing workflows
 
 
-def test_corpus_workflows_execute_with_host_samplers():
-    """VERDICT r3 item 5 end-to-end: corpus workflows that sample through
-    a host sampler (KSamplerSelect -> SamplerConfigOverride, 75/105 of the
-    corpus, 72 of them dpmpp_2s_ancestral) must EXECUTE, not just port —
-    the selector resolves against the native k-diffusion registry and the
-    override's custom noise reaches the loop."""
-    from sonar_tpu.api import pipeline_from_workflow
-    from sonar_tpu.samplers.kdiffusion import KDIFFUSION_SAMPLERS
+def test_corpus_workflows_execute_strided():
+    """End-to-end execution across the WHOLE corpus (every sampler-node
+    type: KSamplerSelect -> SamplerConfigOverride, SamplerSonar*,
+    RestartSamplerCustomNoise), strided for the fast lane — the full
+    102-workflow sweep runs subprocess-isolated in the slow lane
+    (test_corpus_full_sweep_subprocess). Uses tools/sweep_corpus.py's
+    runner so both lanes exercise identical logic."""
+    import pathlib
+    import sys
 
-    def toy_model(x, sb, **kw):
-        s = sb.reshape(-1, 1, 1, 1)
-        return x / (1.0 + s)
+    sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+    from tools.sweep_corpus import run_sweep
 
-    # a 50-minute suite accumulates enough XLA CPU compiler state that
-    # compiling a dozen more sampling loops in the same process can
-    # SEGFAULT inside backend_compile (observed once at suite position
-    # ~97%, 2026-08-19; the test passes standalone) — drop the caches
-    # before this compile-heavy sweep
-    jax.clear_caches()
-    corpus = [(p, g) for p, g, _ in _corpus()
-              if any(isinstance(n, dict)
-                     and n.get("class_type") == "KSamplerSelect"
-                     for n in g.values())]
-    assert len(corpus) >= 50
-    sigmas = jnp.concatenate(
-        [jnp.geomspace(14.6, 0.03, 6), jnp.zeros((1,))]).astype(jnp.float32)
-    x0 = jnp.asarray(
-        np.random.default_rng(0).standard_normal((1, 4, 16, 16)),
-        jnp.float32) * 14.6
-    ran, fails = 0, []
-    for p, g in corpus[::8]:  # strided: each execution compiles a loop
-        try:
-            pipe, _res = pipeline_from_workflow(
-                g, model=toy_model, externals=EXTERNALS, cfg_scale=3.0)
-            out = np.asarray(pipe(x0, sigmas))
-            assert out.shape == x0.shape and np.isfinite(out).all()
-            ran += 1
-        except Exception as e:  # noqa: BLE001 — collect per-workflow context
-            fails.append(f"{p.name}: {type(e).__name__}: {e}")
+    # sweep_corpus clears caches every 20 workflows; at stride 7 this
+    # compiles ~15 loops in-process, well under the segfault regime
+    ok, total, fails = run_sweep(stride=7, verbose=False)
     assert not fails, "\n".join(fails[:8])
-    assert ran >= 6
+    assert ok == total and total >= 12
+
+
+def test_corpus_full_sweep_subprocess():
+    """VERDICT r4 item 2: ALL corpus workflows (>= 100 of the 105 PNGs
+    carry portable sonar graphs) must EXECUTE with finite outputs, not
+    just port. Runs in a fresh subprocess: compiling 100+ sampling loops
+    on top of a long suite's XLA compiler state segfaulted
+    backend_compile once (2026-08-19) — process isolation is the
+    structural fix (VERDICT r4 item 7)."""
+    import os
+    import pathlib
+    import subprocess
+    import sys
+
+    repo = pathlib.Path(__file__).resolve().parents[1]
+    env = {k: v for k, v in os.environ.items()
+           if k != "PALLAS_AXON_POOL_IPS"}
+    env["JAX_PLATFORMS"] = "cpu"
+    r = subprocess.run(
+        [sys.executable, str(repo / "tools" / "sweep_corpus.py"),
+         "--min-ok", "100"],
+        capture_output=True, text=True, timeout=3300, cwd=str(repo),
+        env=env)
+    tail = (r.stdout + r.stderr)[-2000:]
+    assert r.returncode == 0, tail
+    last = [l for l in r.stdout.splitlines() if l.startswith("OK ")]
+    assert last, tail
+    ok, total = last[-1].split()[1].split("/")
+    assert int(ok) >= 100 and int(ok) >= int(total) - 2, tail
 
 
 def test_ksampler_select_feeding_override_is_consumed():
