@@ -437,11 +437,58 @@ class TestFFilterMatmul:
         scale = max(1.0, float(np.abs(ref).max()))
         assert np.abs(ref - got).max() / scale < 2e-2  # bf16 MXU inputs
 
-    def test_large_spatial_falls_back_to_fft(self, monkeypatch):
+    @pytest.mark.parametrize("shape", [(1, 2, 64, 64), (1, 2, 48, 80),
+                                       (1, 1, 128, 128)])
+    def test_separable_equals_fft_beyond_dense_gate(self, shape,
+                                                    monkeypatch):
+        """VERDICT r4 item 6: above the dense-K gate (>32x32) the
+        rank-decomposed factor pair must still equal the FFT path — up
+        to 128x128 stage-1 activations (config-4 beyond 1024px)."""
         import numpy as np
 
-        # above the K-size gate both modes run the SAME fft path
-        ref, got = self._pair((1, 2, 64, 64), monkeypatch)
+        ref, got = self._pair(shape, monkeypatch)
+        scale = max(1.0, float(np.abs(ref).max()))
+        assert np.abs(ref - got).max() / scale < 3e-5
+
+    def test_separable_handles_asymmetric_masks(self, monkeypatch):
+        """rotate/stretch masks have a real antisymmetric component — the
+        Ms/Ma split must reproduce it (not just radial filters)."""
+        import numpy as np
+
+        from sonar_tpu.cfg.freeu import ffilter
+        from sonar_tpu.noise.power import PowerFilter
+
+        pf = PowerFilter(alpha=0.6, rotate=0.5, stretch=2.0, min_freq=0.05)
+        x = jnp.asarray(
+            np.random.default_rng(2).standard_normal((1, 3, 64, 64)),
+            jnp.float32)
+        monkeypatch.setenv("SONAR_TPU_FREEU_MATMUL", "0")
+        ref = np.asarray(jax.jit(lambda v: ffilter(v, pf, 0.0))(x))
+        monkeypatch.setenv("SONAR_TPU_FREEU_MATMUL", "1")
+        got = np.asarray(jax.jit(lambda v: ffilter(v, pf, 0.0))(x))
+        scale = max(1.0, float(np.abs(ref).max()))
+        assert np.abs(ref - got).max() / scale < 3e-5
+
+    def test_separable_grad_flows(self, monkeypatch):
+        import numpy as np
+
+        from sonar_tpu.cfg.freeu import ffilter
+        from sonar_tpu.noise.power import PowerFilter
+
+        monkeypatch.setenv("SONAR_TPU_FREEU_MATMUL", "1")
+        pf = PowerFilter(alpha=0.4)
+        x = jnp.asarray(
+            np.random.default_rng(3).standard_normal((1, 2, 64, 64)),
+            jnp.float32)
+        g = jax.grad(lambda v: jnp.sum(ffilter(v, pf, 0.25) ** 2))(x)
+        assert np.isfinite(np.asarray(g)).all()
+
+    def test_very_large_spatial_falls_back_to_fft(self, monkeypatch):
+        import numpy as np
+
+        # above the separable gate (>128x128) both modes run the SAME
+        # fft path
+        ref, got = self._pair((1, 1, 192, 192), monkeypatch)
         np.testing.assert_array_equal(ref, got)
 
     def test_freeu_apply_through_matmul(self, monkeypatch):

@@ -1,0 +1,60 @@
+"""FreeU spectral filter A/B at 64x64 stage-1 activations (VERDICT r4
+item 6 "Done" criterion): FFT path vs the rank-decomposed separable
+matmul path, slope-timed interleaved in ONE process so tunnel phase
+cancels (CLAUDE.md timing rules).
+
+The shape models config-4 beyond 1024px: stage-1 backbone activations
+(B, 640, 64, 64) — the dense-K operator is impossible there (64 MB) and
+pre-round-5 the code silently fell back to the +5.89% FFT path.
+
+Usage: python tools/bench_ffilter64.py [B] [H]
+Prints one float: median speedup ratio (fft_time / separable_time);
+>= 1.0 means the separable matmul path is at least as fast and the gate
+raise is justified on-chip.
+"""
+
+import os
+import pathlib
+import statistics
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    b = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+    hw = int(sys.argv[2]) if len(sys.argv) > 2 else 64
+    from bench import _ab_slope_samples
+
+    from sonar_tpu.cfg.freeu import ffilter
+    from sonar_tpu.noise.power import PowerFilter
+
+    pf = PowerFilter(alpha=0.4)  # the config-4 filter
+    shape = (b, 640, hw, hw)
+    x = jnp.asarray(
+        np.random.default_rng(0).standard_normal(shape), jnp.float32)
+
+    # env-flag kernels trace at first CALL — warm each variant under its
+    # own flag before timing (CLAUDE.md timing rule 3)
+    os.environ["SONAR_TPU_FREEU_MATMUL"] = "0"
+    fft_fn = jax.jit(lambda v: ffilter(v, pf, 0.25))
+    fft_fn(x).block_until_ready()
+    os.environ["SONAR_TPU_FREEU_MATMUL"] = "1"
+    sep_fn = jax.jit(lambda v: ffilter(v, pf, 0.25))
+    sep_fn(x).block_until_ready()
+    # sanity: the two paths must agree (else the ratio is meaningless)
+    d = float(jnp.max(jnp.abs(fft_fn(x) - sep_fn(x))))
+    scale = float(jnp.max(jnp.abs(fft_fn(x))))
+    assert d / max(scale, 1.0) < 3e-5, f"paths diverge: {d} vs {scale}"
+
+    ratios = _ab_slope_samples(fft_fn, (x,), sep_fn, (x,), k=5)
+    print(f"# ratios: {['%.3f' % r for r in ratios]}", file=sys.stderr)
+    print(statistics.median(ratios))
+
+
+if __name__ == "__main__":
+    main()
