@@ -28,6 +28,7 @@ import numpy as np
 
 from ..core.blend import BLENDING_MODES
 from ..core.normalize import scale_noise, tquantile, tstd
+from ..core.rng import draw_t
 from ..ops.resample import scale_samples
 from .base import NoiseCtx, NoiseItem, fix_output_frames
 from .brownian import brownian_increment, brownian_w
@@ -472,7 +473,7 @@ class StudentTGenerator(Generator):
         }
 
     def generate(self, ctx, state, key, sigma, sigma_next):
-        noise = self.loc + self.scale * jax.random.t(key, self.df, ctx.shape, ctx.dtype)
+        noise = self.loc + self.scale * draw_t(key, self.df, ctx.shape, ctx.dtype)
         flat = jnp.abs(noise.reshape(ctx.shape[0], -1))
         nq = tquantile(flat, self.quantile_fac, axis=-1) * self.nq_fac
         nq = nq.reshape((ctx.shape[0],) + (1,) * (noise.ndim - 1))
