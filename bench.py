@@ -1308,15 +1308,21 @@ def main():
                 remaining = budget - (time.monotonic() - t0) - reserve
                 if remaining < 40:
                     break
-                if env_probe > 0:
-                    t_p = time.monotonic()
-                    pv, _ = _run_one("probe", min(env_probe, remaining))
-                    timings["probe_recheck"] = (
-                        timings.get("probe_recheck", 0.0)
-                        + (time.monotonic() - t_p))
-                    if pv is None:
-                        results["_tunnel"] = f"wedged:{name}"
-                        break
+                if env_probe <= 0:
+                    # probing disabled: a kill can't be distinguished
+                    # from a wedged tunnel — keep the old conservative
+                    # break rather than launching every remaining metric
+                    # (plus retries) into a possibly dead tunnel
+                    results["_tunnel"] = f"killed-unprobed:{name}"
+                    break
+                t_p = time.monotonic()
+                pv, _ = _run_one("probe", min(env_probe, remaining))
+                timings["probe_recheck"] = (
+                    timings.get("probe_recheck", 0.0)
+                    + (time.monotonic() - t_p))
+                if pv is None:
+                    results["_tunnel"] = f"wedged:{name}"
+                    break
             # one retry per core metric (transient tunnel phase, crash,
             # or a kill with a still-healthy tunnel) — re-queued AFTER
             # the remaining core entries so one flaky metric can't

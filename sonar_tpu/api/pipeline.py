@@ -159,9 +159,13 @@ class SonarPipeline:
         # the schedule stays float32 regardless of latent dtype: a bf16
         # latent would otherwise degrade the sigmas and break WCFG's
         # sigma/step-table matching
-        sigmas = jnp.asarray(sigmas, jnp.float32)
+        # host view FIRST, from the RAW input: jnp.asarray inside an
+        # active trace lifts even a concrete schedule to a tracer, so
+        # converting first silently dropped WCFG step windows (and broke
+        # host-table samplers) under pipe.jit(), whose whole point is a
+        # static schedule per compile
         try:
-            host_sigmas = np.asarray(sigmas)
+            host_sigmas = np.asarray(sigmas, np.float32)
         except (jax.errors.TracerArrayConversionError,
                 jax.errors.ConcretizationTypeError):
             # traced sigmas (caller's own jit): WCFG's host-side step
@@ -170,6 +174,7 @@ class SonarPipeline:
             # Only tracer errors are caught: a real device-readback
             # failure must stay loud, not silently drop WCFG windows
             host_sigmas = None
+        sigmas = jnp.asarray(sigmas, jnp.float32)
         denoiser = self._denoiser(host_sigmas)
         call_kwargs: dict[str, Any] = dict(kwargs)
         # pipeline-level defaults are forwarded only when the sampler
@@ -212,6 +217,13 @@ class SonarPipeline:
                     "ancestral_mode='rf' support — flow latents will be "
                     "over-noised. Prefer sonar_euler_ancestral, or eta=0.",
                     stacklevel=3)
+        # host-table samplers (uni_pc/deis/lms/ipndm/dpm_fast/adaptive)
+        # derive solver coefficients on the host — hand them the concrete
+        # schedule when we have one so they work under pipe.jit(), where
+        # the jnp view above is a (constant-lifted) tracer
+        if host_sigmas is not None and getattr(
+                self.sampler, "_needs_host_sigmas", False):
+            sigmas = host_sigmas
         if self.fused_noise is None:
             return self.sampler(denoiser, x0, sigmas, **call_kwargs)
         # the fused-kernel flag is read at TRACE time by the pyramid

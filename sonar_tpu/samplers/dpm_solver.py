@@ -317,3 +317,8 @@ DPM_SOLVER_SAMPLERS = {
     "dpm_fast": sample_dpm_fast,
     "dpm_adaptive": sample_dpm_adaptive,
 }
+
+# both re-grid the schedule on the host — under pipe.jit() the pipeline
+# hands them the concrete table instead of the traced jnp view
+for _fn in DPM_SOLVER_SAMPLERS.values():
+    _fn._needs_host_sigmas = True

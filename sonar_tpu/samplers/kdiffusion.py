@@ -952,7 +952,13 @@ def _res_multistep(
         use_ms = has_old & (sigma_down > 0) & (i > 0)
         out = jnp.where(use_ms, res_x, euler_x)
         if need_noise:
-            noise, nstate = noise_fn(nstate, i, sigma, sigma_next)
+            # reference draws only when sigmas[i+1] > 0 — cond-gate so
+            # the final step neither draws nor advances the stream
+            # (stateful items: brownian would hit -log(0) in its carry)
+            noise, nstate = jax.lax.cond(
+                sigma_next > 0,
+                lambda ns: noise_fn(ns, i, sigma, sigma_next),
+                lambda ns: (jnp.zeros_like(out), ns), nstate)
             out = jnp.where(sigma_next > 0,
                             out + noise * (s_noise * sigma_up), out)
         return (out, (denoised, jnp.ones((), bool)), nstate), {
@@ -966,16 +972,23 @@ def _res_multistep(
                      stop_step=stop_step, return_state=return_state)
 
 
-def sample_res_multistep(model, x, sigmas, **kw):
+def sample_res_multistep(model, x, sigmas, *, eta=0.0, **kw):
     """ComfyUI ``sample_res_multistep`` (deterministic: eta=0)."""
-    kw.setdefault("eta", 0.0)
-    return _res_multistep(model, x, sigmas, **kw)
+    return _res_multistep(model, x, sigmas, eta=eta, **kw)
 
 
-def sample_res_multistep_ancestral(model, x, sigmas, **kw):
+def sample_res_multistep_ancestral(model, x, sigmas, *, eta=1.0, **kw):
     """ComfyUI ``sample_res_multistep_ancestral`` (eta=1 default)."""
-    kw.setdefault("eta", 1.0)
-    return _res_multistep(model, x, sigmas, **kw)
+    return _res_multistep(model, x, sigmas, eta=eta, **kw)
+
+
+# SonarPipeline forwards its noise/eta/s_noise defaults only to samplers
+# whose signatures declare them (pipeline._sampler_params); a bare **kw
+# wrapper reads as "accepts everything" and a pipeline-configured noise
+# item then TypeErrors deep inside the sampler. Expose the wrapped
+# signature (inspect.signature follows __wrapped__).
+sample_res_multistep.__wrapped__ = _res_multistep
+sample_res_multistep_ancestral.__wrapped__ = _res_multistep
 
 
 def sample_ddpm(
@@ -1015,7 +1028,12 @@ def sample_ddpm(
         alpha = ac / ac_prev
         mu = jnp.sqrt(1.0 / alpha) * (
             x_vp - (1.0 - alpha) * eps / jnp.sqrt(1.0 - ac))
-        noise, nstate = noise_fn(nstate, i, sigma, sigma_next)
+        # reference draws only when sigmas[i+1] > 0 — cond-gate for
+        # stream parity and stateful-item carry safety on the last step
+        noise, nstate = jax.lax.cond(
+            sigma_next > 0,
+            lambda ns: noise_fn(ns, i, sigma, sigma_next),
+            lambda ns: (jnp.zeros_like(xc), ns), nstate)
         post_std = jnp.sqrt(jnp.maximum(
             (1.0 - alpha) * (1.0 - ac_prev) / (1.0 - ac), 0.0))
         mu = jnp.where(sigma_next > 0,

@@ -318,15 +318,28 @@ def _uni_pc(model, x, sigmas, *, variant: str, seed=None, extra_args=None,
     return out * inv_alpha_last
 
 
-def sample_uni_pc(model, x, sigmas, **kw):
+def sample_uni_pc(model, x, sigmas, *, seed=None, extra_args=None,
+                  callback=None, method="scan", resume_from=None,
+                  start_step=0, stop_step=None, return_state=False):
     """ComfyUI ``uni_pc`` (UniPC multistep predictor-corrector,
-    variant bh1)."""
-    return _uni_pc(model, x, sigmas, variant="bh1", **kw)
+    variant bh1). Deterministic: takes no noise/eta knobs, and the
+    explicit signature is what lets SonarPipeline's forwarding filter
+    IGNORE a configured noise item (like the reference's uni_pc does)
+    instead of TypeError-ing through a ``**kw`` catch-all."""
+    return _uni_pc(model, x, sigmas, variant="bh1", seed=seed,
+                   extra_args=extra_args, callback=callback, method=method,
+                   resume_from=resume_from, start_step=start_step,
+                   stop_step=stop_step, return_state=return_state)
 
 
-def sample_uni_pc_bh2(model, x, sigmas, **kw):
+def sample_uni_pc_bh2(model, x, sigmas, *, seed=None, extra_args=None,
+                      callback=None, method="scan", resume_from=None,
+                      start_step=0, stop_step=None, return_state=False):
     """ComfyUI ``uni_pc_bh2`` (B(h) = expm1(h) variant)."""
-    return _uni_pc(model, x, sigmas, variant="bh2", **kw)
+    return _uni_pc(model, x, sigmas, variant="bh2", seed=seed,
+                   extra_args=extra_args, callback=callback, method=method,
+                   resume_from=resume_from, start_step=start_step,
+                   stop_step=stop_step, return_state=return_state)
 
 
 MULTISTEP_SAMPLERS = {
@@ -337,3 +350,9 @@ MULTISTEP_SAMPLERS = {
     "uni_pc": sample_uni_pc,
     "uni_pc_bh2": sample_uni_pc_bh2,
 }
+
+# every sampler here derives its coefficient tables on the host:
+# SonarPipeline hands these the concrete schedule under pipe.jit()
+# (pipeline.py), where the traced jnp view would TypeError
+for _fn in MULTISTEP_SAMPLERS.values():
+    _fn._needs_host_sigmas = True

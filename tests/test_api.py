@@ -610,3 +610,49 @@ def test_pipeline_noise_with_non_ancestral_sampler_is_ignored():
     # an explicit bad kwarg from the caller still raises
     with pytest.raises(TypeError):
         plain(x0, sig, noise_item=get_noise_item("gaussian"))
+
+
+def test_pipeline_jit_keeps_host_sigmas():
+    """Code-review r5: jnp.asarray inside an active trace lifts even a
+    concrete schedule to a tracer, so computing host_sigmas AFTER the
+    conversion silently dropped WCFG step windows under pipe.jit() —
+    the exact mode pipe.jit() exists to keep concrete. The host view
+    must be taken from the raw input first."""
+    from sonar_tpu.api import SonarPipeline
+
+    def model(x, s, **kw):
+        return x / (1.0 + s.reshape((-1, 1, 1, 1)) ** 2)
+
+    pipe = SonarPipeline(model=model, sampler="sonar_euler", seed=0)
+    sig = np.concatenate([np.geomspace(14.6, 0.03, 6),
+                          [0.0]]).astype(np.float32)
+    x0 = jnp.asarray(np.random.default_rng(0)
+                     .standard_normal((1, 4, 16, 16)).astype(np.float32))
+    seen = []
+    orig = pipe._denoiser
+    pipe._denoiser = lambda hs: (seen.append(hs), orig(hs))[1]
+    pipe.jit()(x0, sig)
+    assert seen and seen[-1] is not None
+    np.testing.assert_allclose(np.asarray(seen[-1]), sig, rtol=1e-6)
+
+
+@pytest.mark.parametrize("name", ["uni_pc", "deis", "lms", "ipndm",
+                                  "dpm_fast"])
+def test_pipeline_jit_host_table_samplers(name):
+    """Code-review r5: host-table samplers (coefficients derived from the
+    schedule on the host) must work under pipe.jit() — the pipeline hands
+    them the concrete schedule instead of the constant-lifted tracer."""
+    from sonar_tpu.api import SonarPipeline
+
+    def model(x, s, **kw):
+        return x / (1.0 + s.reshape((-1, 1, 1, 1)) ** 2)
+
+    sig = np.concatenate([np.geomspace(14.6, 0.03, 8),
+                          [0.0]]).astype(np.float32)
+    x0 = jnp.asarray(np.random.default_rng(1)
+                     .standard_normal((1, 4, 16, 16)).astype(np.float32)) * 14.6
+    pipe = SonarPipeline(model=model, sampler=name, seed=2)
+    eager = np.asarray(pipe(x0, sig))
+    jitted = np.asarray(pipe.jit()(x0, sig))
+    assert np.isfinite(jitted).all()
+    np.testing.assert_allclose(jitted, eager, rtol=2e-5, atol=2e-5)

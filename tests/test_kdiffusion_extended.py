@@ -584,3 +584,57 @@ def test_registry_covers_common_comfy_names():
               "res_multistep_ancestral"}
     assert needed <= set(SAMPLERS)
     assert len(SAMPLERS) >= 22
+
+
+def test_pipeline_forwards_only_declared_kwargs(x0):
+    """Code-review r5: bare **kw wrappers (uni_pc, res_multistep*) read
+    as 'accepts everything' to SonarPipeline._sampler_params, so a
+    pipeline-configured noise item was forwarded into samplers that
+    don't take one -> TypeError. uni_pc must IGNORE the noise (like the
+    reference node) and res_multistep_ancestral must ACCEPT it."""
+    from sonar_tpu.api.pipeline import SonarPipeline
+    from sonar_tpu.noise.presets import get_noise_item
+
+    sigmas = karras()
+
+    def model(x, sigma_b, **kw):
+        return jx_model(x, sigma_b)
+
+    for name in ("uni_pc", "uni_pc_bh2", "res_multistep",
+                 "res_multistep_ancestral"):
+        pipe = SonarPipeline(model=model, sampler=name,
+                             noise=get_noise_item("pyramid"),
+                             eta=0.8, s_noise=0.9, seed=3)
+        out = np.asarray(pipe(jnp.asarray(x0), sigmas))
+        assert out.shape == x0.shape and np.isfinite(out).all(), name
+    # the filter must actually see the explicit signatures
+    for name in ("uni_pc", "res_multistep_ancestral"):
+        pipe = SonarPipeline(model=model, sampler=name)
+        accepts = pipe._sampler_params()
+        assert accepts is not None, name
+    assert "noise_item" not in SonarPipeline(
+        model=model, sampler="uni_pc")._sampler_params()
+    assert "noise_item" in SonarPipeline(
+        model=model, sampler="res_multistep_ancestral")._sampler_params()
+
+
+@pytest.mark.parametrize("name", ["res_multistep_ancestral", "ddpm"])
+def test_final_step_never_advances_noise_stream(name, x0):
+    """Code-review r5: the reference draws only when sigmas[i+1] > 0;
+    the final (sigma_next == 0) step must neither draw nor advance the
+    carried noise state (a brownian item would fold -log(0) into its
+    endpoint cache)."""
+    fn = KDIFFUSION_SAMPLERS[name]
+    sigmas = jnp.asarray(karras())
+    xj = jnp.asarray(x0)
+    n = int(sigmas.shape[0]) - 1
+    kw = dict(seed=11, return_state=True)
+    _, carry_full = fn(jx_model, xj, sigmas, stop_step=n, **kw)
+    _, carry_prev = fn(jx_model, xj, sigmas, stop_step=n - 1, **kw)
+    ns_full = jax.tree_util.tree_leaves(carry_full[-1])
+    ns_prev = jax.tree_util.tree_leaves(carry_prev[-1])
+    assert len(ns_full) == len(ns_prev)
+    for a, b in zip(ns_full, ns_prev):
+        if jnp.issubdtype(a.dtype, jax.dtypes.prng_key):
+            a, b = jax.random.key_data(a), jax.random.key_data(b)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -85,10 +85,12 @@ def run_sweep(stride: int = 1, verbose: bool = True):
             ok += 1
         except Exception as e:  # noqa: BLE001 — per-workflow diagnostics
             fails.append(f"{p.name}: {type(e).__name__}: {e}")
-        if verbose and (i + 1) % 20 == 0:
-            print(f"... {i + 1}/{len(corpus)} ok={ok}", file=sys.stderr,
-                  flush=True)
-            # bound compiler-state growth across 100+ loop compiles
+        if (i + 1) % 20 == 0:
+            if verbose:
+                print(f"... {i + 1}/{len(corpus)} ok={ok}", file=sys.stderr,
+                      flush=True)
+            # bound compiler-state growth across 100+ loop compiles —
+            # a stability bound, so it must not depend on the logging flag
             jax.clear_caches()
     return ok, len(corpus), fails
 
