@@ -40,14 +40,19 @@ def _ffilter_mode() -> str:
     the host turns the filter into ``x_flat @ K`` — read x, read K, write
     y, zero intermediates, and the scale/blend epilogue fuses into the
     matmul. Dense K is gated to spatial ≤ 32×32 ((hw)² — 4 MB at 32²);
-    from there to 128×128 the rank-decomposed factor pair
-    (:func:`_ffilter_factors`, VERDICT r4 item 6) keeps the matmul chain
-    with (h² + w²)-sized constants; beyond that, the FFT path."""
+    beyond that the FFT path runs BY DEFAULT: the rank-decomposed factor
+    pair (:func:`_ffilter_factors`, VERDICT r4 item 6) was measured
+    SLOWER than FFT on chip at 64×64 stage-1 activations — fft/sep slope
+    ratio 0.346 at HIGHEST, 0.620 at DEFAULT precision
+    (tools/bench_ffilter64.py, profiles/ANALYSIS.md §18) — because the
+    config-4 masks carry rank 24-28, putting the factored FLOPs at
+    20-41× the FFT's. "sep"/"sep_fast" opt in to the factor path up to
+    128×128 anyway (exactness tests keep it honest)."""
     return os.environ.get("SONAR_TPU_FREEU_MATMUL", "1")
 
 
 _MATMUL_MAX_HW = 1024       # 32x32; dense K grows as (h*w)^2
-_SEPARABLE_MAX_HW = 16384   # 128x128; factor pair grows as h^2 + w^2
+_SEPARABLE_MAX_HW = 16384   # 128x128 cap for the OPT-IN "sep" mode
 _SEPARABLE_MAX_RANK = 64    # beyond this the factored FLOPs lose to FFT
 
 
@@ -127,21 +132,22 @@ def ffilter(x, pfilter: PowerFilter, normalization_factor: float = 1.0):
     )
     h, w = x.shape[-2:]
     mode = _ffilter_mode()
+    fast = mode.endswith("fast")
     if mode != "0" and h * w <= _MATMUL_MAX_HW:
         k = jnp.asarray(_ffilter_matrix(filt, h, w))
         x32 = x.astype(jnp.float32).reshape(*x.shape[:-2], h * w)
         out = jnp.matmul(
-            x32, k,
-            precision=("highest" if mode != "fast" else "default"))
+            x32, k, precision=("default" if fast else "highest"))
         return out.reshape(x.shape).astype(x.dtype)
-    if mode != "0" and h * w <= _SEPARABLE_MAX_HW:
-        # beyond the dense-K gate: the rank-decomposed factor pair keeps
-        # the zero-FFT, zero-complex-intermediate matmul chain up to
-        # 128x128 stage-1 activations (VERDICT r4 item 6)
+    if mode.startswith("sep") and h * w <= _SEPARABLE_MAX_HW:
+        # OPT-IN beyond the dense-K gate: the rank-decomposed factor pair
+        # keeps a zero-FFT, zero-complex-intermediate matmul chain up to
+        # 128x128 — but the config-4 masks are rank 24-28, so it LOSES to
+        # FFT on chip (ANALYSIS §18); default falls through to FFT
         factors = _ffilter_factors(filt, h, w)
         if factors is not None:
             A, B = (jnp.asarray(f) for f in factors)
-            prec = "highest" if mode != "fast" else "default"
+            prec = "default" if fast else "highest"
             x32 = x.astype(jnp.float32)
             t = jnp.einsum("rij,...jk->r...ik", A, x32, precision=prec)
             out = jnp.einsum("r...ik,rkl->...il", t, B, precision=prec)

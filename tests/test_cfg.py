@@ -442,13 +442,22 @@ class TestFFilterMatmul:
     def test_separable_equals_fft_beyond_dense_gate(self, shape,
                                                     monkeypatch):
         """VERDICT r4 item 6: above the dense-K gate (>32x32) the
-        rank-decomposed factor pair must still equal the FFT path — up
-        to 128x128 stage-1 activations (config-4 beyond 1024px)."""
+        rank-decomposed factor pair (OPT-IN "sep" since the chip A/B
+        measured it slower than FFT — ANALYSIS §18) must still equal
+        the FFT path — up to 128x128 stage-1 activations."""
         import numpy as np
 
-        ref, got = self._pair(shape, monkeypatch)
+        ref, got = self._pair(shape, monkeypatch, mode="sep")
         scale = max(1.0, float(np.abs(ref).max()))
         assert np.abs(ref - got).max() / scale < 3e-5
+
+    def test_default_mode_runs_fft_beyond_dense_gate(self, monkeypatch):
+        """ANALYSIS §18: the default mode must fall through to the FFT
+        path above 32x32 — the factor pair is 1.6-2.9x slower there."""
+        import numpy as np
+
+        ref, got = self._pair((1, 2, 64, 64), monkeypatch, mode="1")
+        np.testing.assert_array_equal(ref, got)
 
     def test_separable_handles_asymmetric_masks(self, monkeypatch):
         """rotate/stretch masks have a real antisymmetric component — the
@@ -464,7 +473,7 @@ class TestFFilterMatmul:
             jnp.float32)
         monkeypatch.setenv("SONAR_TPU_FREEU_MATMUL", "0")
         ref = np.asarray(jax.jit(lambda v: ffilter(v, pf, 0.0))(x))
-        monkeypatch.setenv("SONAR_TPU_FREEU_MATMUL", "1")
+        monkeypatch.setenv("SONAR_TPU_FREEU_MATMUL", "sep")
         got = np.asarray(jax.jit(lambda v: ffilter(v, pf, 0.0))(x))
         scale = max(1.0, float(np.abs(ref).max()))
         assert np.abs(ref - got).max() / scale < 3e-5
@@ -475,7 +484,7 @@ class TestFFilterMatmul:
         from sonar_tpu.cfg.freeu import ffilter
         from sonar_tpu.noise.power import PowerFilter
 
-        monkeypatch.setenv("SONAR_TPU_FREEU_MATMUL", "1")
+        monkeypatch.setenv("SONAR_TPU_FREEU_MATMUL", "sep")
         pf = PowerFilter(alpha=0.4)
         x = jnp.asarray(
             np.random.default_rng(3).standard_normal((1, 2, 64, 64)),
