@@ -26,12 +26,31 @@ from __future__ import annotations
 
 import dataclasses
 import math
+import os
 from functools import partial
 from typing import Any, Callable
 
 import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
+
+# Batch serving collapses to HBM-bound attention once the per-layer f32
+# logits tensor (b·h·n²·4 bytes) far exceeds the ~16 MB/core VMEM: at
+# DiT-S b=8/n=1024 that is 192 MB/layer and the measured step time is
+# ~2.5× the linear-in-batch extrapolation (profiles/ANALYSIS.md §19).
+# Above this threshold the dense path is switched for the pallas flash
+# kernel, whose logits never leave VMEM. SONAR_TPU_DIT_FLASH=1 forces
+# the kernel everywhere, =0 forces the dense path.
+_FLASH_DENSE_LOGITS_BYTES = 64 * 2**20
+
+
+def _use_flash_attention(b: int, heads: int, n: int) -> bool:
+    flag = os.environ.get("SONAR_TPU_DIT_FLASH")
+    if flag in ("0", "1"):
+        return flag == "1"
+    return (jax.default_backend() == "tpu"
+            and n % 128 == 0 and n >= 256
+            and b * heads * n * n * 4 >= _FLASH_DENSE_LOGITS_BYTES)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -190,10 +209,17 @@ def _attention(p, x, num_heads, tp_axis=None):
     heads = qkv.shape[-1] // (3 * dh)
     qkv = qkv.reshape(b, n, heads, 3, dh)
     q, k, v = (qkv[:, :, :, i].transpose(0, 2, 1, 3) for i in range(3))
-    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k,
-                        preferred_element_type=jnp.float32)
-    att = jax.nn.softmax(logits.astype(jnp.float32) / math.sqrt(dh), axis=-1)
-    out = jnp.einsum("bhqk,bhkd->bhqd", att.astype(x.dtype), v)
+    if _use_flash_attention(b, heads, n):
+        from jax.experimental.pallas.ops.tpu.flash_attention import (
+            flash_attention)
+
+        out = flash_attention(q, k, v, sm_scale=1.0 / math.sqrt(dh))
+    else:
+        logits = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                            preferred_element_type=jnp.float32)
+        att = jax.nn.softmax(
+            logits.astype(jnp.float32) / math.sqrt(dh), axis=-1)
+        out = jnp.einsum("bhqk,bhkd->bhqd", att.astype(x.dtype), v)
     out = out.transpose(0, 2, 1, 3).reshape(b, n, heads * dh)
     y = out @ p["attn_out"]["w"]
     if tp_axis is not None:

@@ -431,3 +431,18 @@ def test_pp_tp_refuses_moe_and_bad_heads(moe_params, params):
     with pytest.raises(ValueError, match="not divisible by tp"):
         dit_pp_apply(p3, jnp.zeros((2, 4, 16, 16)), jnp.ones((2,)),
                      cfg3, mesh, microbatches=1, dp=None, tp="tp")
+
+
+def test_flash_attention_gate(monkeypatch):
+    """The pallas flash path only engages on TPU in the dense-logits
+    collapse regime (ANALYSIS §19); env forces both directions."""
+    from sonar_tpu.models.dit import _use_flash_attention
+
+    # this suite runs on the CPU backend -> auto gate must stay off even
+    # at the b8/n=1024 serving shape that triggers it on chip
+    monkeypatch.delenv("SONAR_TPU_DIT_FLASH", raising=False)
+    assert not _use_flash_attention(8, 6, 1024)
+    monkeypatch.setenv("SONAR_TPU_DIT_FLASH", "1")
+    assert _use_flash_attention(1, 1, 64)
+    monkeypatch.setenv("SONAR_TPU_DIT_FLASH", "0")
+    assert not _use_flash_attention(8, 6, 1024)

@@ -57,18 +57,18 @@ def _cfg(name):
     from sonar_tpu.models import DiTConfig
 
     if SMOKE:
-        dt = jnp.bfloat16 if name in ("bf16", "b8_bf16") else jnp.float32
+        dt = jnp.bfloat16 if "bf16" in name else jnp.float32
         return DiTConfig(hidden=64, depth=2, num_heads=2, patch_size=2,
                          dtype=dt)
     if name == "ditb":
         return DiTConfig(hidden=768, depth=12, num_heads=12, patch_size=2)
-    dt = jnp.bfloat16 if name in ("bf16", "b8_bf16") else jnp.float32
+    dt = jnp.bfloat16 if "bf16" in name else jnp.float32
     return DiTConfig(hidden=384, depth=12, num_heads=6, patch_size=2,
                      dtype=dt)
 
 
 def _batch(name):
-    return 8 if name in ("b8", "b8_bf16") else 1
+    return 8 if name.startswith("b8") else 1
 
 
 def _sampling_ms_per_call(cfg, batch, timer):
@@ -180,13 +180,45 @@ def skel_flops():
     return depth * per
 
 
+def _forward_ms_per_call(cfg, batch, timer):
+    """Time jit(dit_apply) directly — one model call per program.
+
+    The flash-attention A/B uses this framing: the pallas kernel inside
+    the full 20-step sampling scan costs >15 min of remote compile (two
+    900s child timeouts, 2026-08-20), while the forward-only program
+    compiles in minutes. Per-model-call ms is the quantity every ANALYSIS
+    §19 row reports anyway; sampler overhead at b8 is sub-1%."""
+    import jax
+    import jax.numpy as jnp
+
+    from sonar_tpu.models import dit_apply, init_dit_params
+
+    params = init_dit_params(jax.random.key(0), cfg)
+    x = jax.random.normal(jax.random.key(1),
+                          (batch, cfg.in_channels) + SHAPE_HW, jnp.float32)
+    sigma = jnp.full((batch,), 2.5, jnp.float32)
+
+    @jax.jit
+    def run(p, x, s):
+        return dit_apply(p, x, s, cfg)
+
+    return timer(run, params, x, sigma) * 1e3
+
+
 def run_variant(name):
     from bench import _timeit, _timeit_slope
 
+    # pin the attention path so the b8 dense rows stay dense even now
+    # that the auto-gate turns the flash kernel on in the collapse regime
+    # (SMOKE runs on CPU where the TPU pallas kernel cannot execute)
+    os.environ["SONAR_TPU_DIT_FLASH"] = (
+        "1" if "_flash" in name and not SMOKE else "0")
     if name == "skel":
         return _skel_ms_per_call()
     if name == "unroll":
         return _unroll_ms_per_call()
+    if name.endswith("_fwd"):
+        return _forward_ms_per_call(_cfg(name), _batch(name), _timeit_slope)
     timer = _timeit if name == "base" else _timeit_slope
     if name == "base":
         def timer(fn, *a):
@@ -195,7 +227,7 @@ def run_variant(name):
 
 
 VARIANTS = ("base", "slope", "bf16", "unroll", "b8", "b8_bf16", "skel",
-            "ditb")
+            "ditb", "b8_flash", "b8_bf16_flash")
 
 
 def main():
@@ -212,7 +244,8 @@ def main():
     for name in names:
         ms = subprocess_float(
             [sys.executable, __file__, "--single", name], env=env,
-            label=name, timeout=900)
+            label=name,
+            timeout=int(os.environ.get("SONAR_PROFILE_DIT_TIMEOUT", "900")))
         if ms is None:
             out[name] = None
             continue
