@@ -38,19 +38,18 @@ from jax.sharding import PartitionSpec as P
 # logits tensor (b·h·n²·4 bytes) far exceeds the ~16 MB/core VMEM: at
 # DiT-S b=8/n=1024 that is 192 MB/layer and the measured step time is
 # ~2.5× the linear-in-batch extrapolation (profiles/ANALYSIS.md §19).
-# Above this threshold the dense path is switched for the pallas flash
-# kernel, whose logits never leave VMEM. SONAR_TPU_DIT_FLASH=1 forces
-# the kernel everywhere, =0 forces the dense path.
-_FLASH_DENSE_LOGITS_BYTES = 64 * 2**20
-
-
+# The pallas flash kernel (logits never leave VMEM) was A/B'd on chip as
+# the fix and LOST at this geometry — dh=64 is half an MXU tile, so the
+# kernel's blocked matmuls run at worse MXU utilization than the dense
+# path's 1024×1024×64 GEMMs save in HBM traffic: f32 22.6 vs 12.8 ms,
+# bf16 18.5 vs 20.6 ms, and every bf16 path loses to f32 dense
+# (ANALYSIS §20, profiles/profile_dit_flash_r5.json). It therefore stays
+# OPT-IN: SONAR_TPU_DIT_FLASH=1 forces the kernel (numerics are
+# validated — f32 max|Δ| 1.3e-05, tools/check_dit_flash.py); the default
+# and =0 use the dense path. Single-chip b8+ serving should prefer f32
+# over bf16 and dp-parallelism over in-chip batching past b≈2.
 def _use_flash_attention(b: int, heads: int, n: int) -> bool:
-    flag = os.environ.get("SONAR_TPU_DIT_FLASH")
-    if flag in ("0", "1"):
-        return flag == "1"
-    return (jax.default_backend() == "tpu"
-            and n % 128 == 0 and n >= 256
-            and b * heads * n * n * 4 >= _FLASH_DENSE_LOGITS_BYTES)
+    return os.environ.get("SONAR_TPU_DIT_FLASH") == "1"
 
 
 @dataclasses.dataclass(frozen=True)
