@@ -27,8 +27,16 @@ Exit code 0 = survived (prints final RSS delta); a segfault kills the
 process (rc -11/139) — run under a parent that records the index from
 the last stdout line.
 
-Results land in profiles/ANALYSIS.md (run both modes; record RSS slope
-and whether the crash reproduces at any index).
+Result 2026-08-20 (this box, CPU): SURVIVED 150 distinct compiles in
+both modes — no crash at any index (C ruled out for these programs).
+Without clearing, RSS grew monotonically ~2.9 MB/compile (432 MB over
+the run, unbounded — hypothesis A's precondition); with --clear 20 it
+PLATEAUED at ~340 MB (delta 178 MB, fully reclaimed each cycle — no
+evidence for B). The crash itself needs the 40-minute suite's multi-GB
+compiler-state baseline that isolation cannot cheaply rebuild.
+Conclusion in profiles/ANALYSIS.md §21; the shipped mitigation
+(subprocess isolation + clear_caches every 20 workflows in
+tools/sweep_corpus.py) bounds both the baseline and the growth.
 """
 
 import argparse
